@@ -1,0 +1,92 @@
+"""Delimited-line scalar operators (the DesenPross library, Spark-first).
+
+The reference applies these per record inside ``map`` closures
+(reference src/DesenPross.scala); here each is a Catalyst column expression
+over the split array, so the whole chain stays inside whole-stage codegen
+and is applied column-at-a-time by Tungsten. One ``split`` is shared by all
+downstream ops on the same line (the reference recomputed the split up to
+3x per field — src/DesenPross.scala:128-134; Catalyst's common-subexpression
+elimination makes that a non-issue here).
+
+Mapping (SURVEY.md §2.2):
+  P3  field_extract   colRey           src/DesenPross.scala:53-64
+  P4  mask_fields     strRen           src/DesenPross.scala:94-115
+  P5  mask_fields     strRens          src/DesenPross.scala:146-153
+  P6  drop_fields     strReplace       src/DesenPross.scala:123-142
+  P7  drop_fields     strReplaces      src/DesenPross.scala:157-165
+  P8  project_fields  processData      src/DesenPross.scala:167-176
+  P9  dirty_filter    length guard     src/ProcessSums.scala:435
+  P10 F.md5           MD5.toDigest     src/MD5.java:24-33
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ERROR_SENTINEL = "ERROR"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def line_fields(line: Column | str, sep: str = "|") -> Column:
+    """Split a delimited line into its field array (shared by all ops)."""
+    return F.split(_col(line), re.escape(sep))
+
+
+def field_extract(line: Column | str, index: int, sep: str = "|") -> Column:
+    """P3 — field at ``index`` (0-based); out of range -> ``'ERROR'``.
+
+    The reference's real out-of-range guard is the exception handler
+    returning "ERROR" (src/DesenPross.scala:59-63; its explicit check has
+    an off-by-one, SURVEY.md §2.8) — we implement the *effective* behavior:
+    ``size(arr) > index ? arr[index] : 'ERROR'``.
+    """
+    arr = line_fields(line, sep)
+    return F.when(F.size(arr) > index, arr[index]).otherwise(F.lit(ERROR_SENTINEL))
+
+
+def mask_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> Column:
+    """P4/P5 — replace each field in ``indices`` with its MD5 hex digest.
+
+    Spark's ``md5()`` is byte-identical to the reference's from-scratch
+    RFC-1321 implementation for UTF-8 input (src/MD5.java:163-284). A
+    single indexed ``transform`` replaces the reference's fold of repeated
+    split/rebuild passes (src/DesenPross.scala:146-153).
+    """
+    idx = list(indices)
+    arr = line_fields(line, sep)
+    masked = F.transform(arr, lambda x, i: F.when(i.isin(idx), F.md5(x)).otherwise(x))
+    return F.array_join(masked, sep)
+
+
+def drop_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> Column:
+    """P6/P7 — remove the fields at ``indices``, re-join the rest.
+
+    Single-pass index-set filter; the reference's descending-index shift
+    compensation (src/DesenPross.scala:162, SURVEY.md §2.8) is unnecessary
+    when all drops happen in one pass.
+    """
+    idx = list(indices)
+    arr = line_fields(line, sep)
+    kept = F.filter(arr, lambda x, i: ~i.isin(idx))
+    return F.array_join(kept, sep)
+
+
+def project_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> Column:
+    """P8 — re-join the selected fields in the given order (``processData``
+    emits fields 0,7,17,1,2,32,33,36,22,43 of a 44-field line,
+    src/DesenPross.scala:172-173). Caller guards field count (P9)."""
+    arr = line_fields(line, sep)
+    return F.concat_ws(sep, *[arr[i] for i in indices])
+
+
+def dirty_filter(line: Column | str, n_fields: int, sep: str = "|") -> Column:
+    """P9 — boolean: split length equals the schema's expected count
+    (src/ProcessSums.scala:435 via Process.line_length)."""
+    return F.size(line_fields(line, sep)) == n_fields

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Centralizes the engine configuration derived from the reference's manual
+tuning (SURVEY.md §4.1): what the reference did with Kryo / memoryFraction /
+concurrentJobs / repartition(1), modern Spark does with Tungsten, the
+unified memory manager, AQE, and ``maxRecordsPerFile``. Everything here is
+plain public Spark configuration.
+
+Scale posture: the same builder works on a real cluster — only ``master``
+and the shuffle-partition count change (cluster submit sets
+``spark.sql.shuffle.partitions`` ~ 2-3x total cores; AQE coalesces down at
+runtime, and skew-join splitting handles hot keys).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    AQE on (runtime coalesce + skew-join), Arrow on (fast Pandas-UDF /
+    toPandas path), UTC session timezone (deterministic date functions —
+    the reference's ``SimpleDateFormat`` was host-tz dependent, see
+    src/StreamingFlumeProcess.scala:140-141; we fix that).
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the reference replayed its cached socket stream into <=19 output
+        # ops (src/StreamingSocketProcess.scala:124); our multi-sink batches
+        # persist once per micro-batch instead — keep shuffle tracking on so
+        # AQE can reuse exchanges.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` expose the declared-query registry
+(sparkstreamingflume_spark/plans/*); ``entry()`` runs the flagship query
+(SURVEY.md §7.4) on sf0.001.
 """
 
 from __future__ import annotations
@@ -12,27 +10,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.plans import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query — "enriched masked daily rollup" (SURVEY.md §7.4).
+
+    events ⋈ broadcast(customer→nation dim chain) inner on the lookup key
+    (reference J1, src/StreamingSocketProcess.scala:112-120 +
+    src/ProcessSums.scala:422-450), user_id masked with md5 (P4,
+    src/DesenPross.scala:94-115), rolled up by day × nation (W3/A1-A3).
+    """
+    from sparkstreamingflume_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner")
+        .select(
+            F.date_format("ts", "yyyyMMdd").alias("dt"),
+            F.col("n_name").alias("nation"),
+            F.md5(F.col("user_id").cast("string")).alias("masked_user"),
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .groupBy("dt", "nation")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("masked_user").alias("n_users"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per certified operator (SURVEY.md §2 + §7.5 extensions)."""
+    return {name: q.build for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle statement per query (omitted => rows-only check)."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

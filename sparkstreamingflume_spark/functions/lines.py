@@ -35,8 +35,17 @@ def _col(c: Column | str) -> Column:
 
 
 def line_fields(line: Column | str, sep: str = "|") -> Column:
-    """Split a delimited line into its field array (shared by all ops)."""
-    return F.split(_col(line), re.escape(sep))
+    """Split a delimited line into its field array (shared by all ops).
+
+    Matches Java/Scala ``split(sep, 0)`` semantics — trailing empty fields
+    are dropped (the reference's GPRS sample line ends in ``|`` and still
+    splits to 44 fields, src/DesenPross.scala:181). Spark's ``split`` uses
+    limit=-1 (keeps trailing empties), so we strip the trailing separator
+    run first. DuckDB oracles must apply the same
+    ``regexp_replace(line, '<sep>+$', '')`` normalization.
+    """
+    sep_re = re.escape(sep)
+    return F.split(F.regexp_replace(_col(line), f"{sep_re}+$", ""), sep_re)
 
 
 def field_extract(line: Column | str, index: int, sep: str = "|") -> Column:
@@ -78,12 +87,24 @@ def drop_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> C
     return F.array_join(kept, sep)
 
 
-def project_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> Column:
+def project_fields(
+    line: Column | str, indices: Iterable[int], sep: str = "|", n_fields: int | None = None
+) -> Column:
     """P8 — re-join the selected fields in the given order (``processData``
     emits fields 0,7,17,1,2,32,33,36,22,43 of a 44-field line,
-    src/DesenPross.scala:172-173). Caller guards field count (P9)."""
+    src/DesenPross.scala:172-173).
+
+    Total like the reference: ``processData`` returns ``""`` for lines that
+    are not exactly ``n_fields`` wide (src/DesenPross.scala:167-176) rather
+    than throwing. ``F.get`` is NULL-safe out of range (plain ``arr[i]``
+    raises under Spark 4 ANSI mode), and the width guard makes short lines
+    map to the empty string.
+    """
+    idx = list(indices)
     arr = line_fields(line, sep)
-    return F.concat_ws(sep, *[arr[i] for i in indices])
+    projected = F.concat_ws(sep, *[F.get(arr, i) for i in idx])
+    guard = F.size(arr) == n_fields if n_fields is not None else F.size(arr) > max(idx)
+    return F.when(guard, projected).otherwise(F.lit(""))
 
 
 def dirty_filter(line: Column | str, n_fields: int, sep: str = "|") -> Column:

@@ -1,0 +1,81 @@
+"""Text-analysis / dedup column builders shared by the extension queries.
+
+Everything here exists in TWO lockstep dialects — a Spark ``Column``
+builder and a DuckDB SQL fragment emitter — because the driver certifies
+each query by running both sides and hash-comparing values. Keeping the
+pair in one module prevents silent drift.
+
+All primitives are deterministic and engine-portable:
+
+* ``h32`` — a 32-bit integer hash derived from the first 8 hex chars of
+  MD5 (both engines produce identical MD5 for identical UTF-8 input, so
+  the derived integer matches bit-for-bit). Used for MinHash
+  permutations, SimHash bit votes, and fingerprint sampling, replacing
+  engine-local ``hash()`` functions whose seeds differ.
+* token = space-split word; shingle = 3-token n-gram (the standard
+  shingling unit for near-dup detection).
+
+Scale posture: all of these are pure Catalyst expressions (split /
+transform / sequence / md5 / conv) — whole-stage codegen, no Python in
+the row path, no driver state. The only shuffles in the consuming
+queries are the explicit groupBy/join on (shingle | band-hash | doc-id),
+which is exactly the inverted-index / LSH-bucket shape that scales to
+100 TB (shingle posting lists, not doc×doc pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine 32-bit hash
+# ---------------------------------------------------------------------------
+
+
+def h32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """Same value in DuckDB SQL."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8))::UBIGINT AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Tokenize / shingle
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+TOKENS_SQL = "string_split({expr}, ' ')"
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """All k-token shingles of a doc, in order (empty array if < k tokens).
+
+    ``sequence(0, n)`` with a negative ``n`` yields a DESCENDING sequence in
+    Spark, so the short-doc case must be guarded explicitly.
+    """
+    arr = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(arr) - k)
+    gram = lambda i: F.concat_ws(" ", *[F.get(arr, i + j) for j in range(k)])  # noqa: E731
+    return F.when(
+        F.size(arr) >= k, F.transform(idx, gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list indexing)."""
+    arr = f"string_split({expr}, ' ')"
+    gram = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(generate_series(1, greatest(len({arr}) - {k - 1}, 0)),"
+        f" i -> {gram})"
+    )

@@ -1,0 +1,580 @@
+"""Core declared queries — the reference's operator surface (SURVEY.md §2).
+
+Each ``@query`` pairs a Spark DataFrame builder with a DuckDB oracle SQL
+statement; the driver runs both at sf=0.01 and compares row count + schema +
+order-insensitive value hash.
+
+The reference operates on delimited CDR/GPRS text lines. The synthetic
+testdata is relational parquet, so both engines deterministically synthesize
+the *same* line corpus from ``lineitem`` (`_cdr_lines` here ≡ `LINES_CTE` in
+SQL): an 11-way routing prefix 60..70 (reference
+src/StreamingSocketProcess.scala:138-159), 44 fields for clean rows
+(the GPRS width, src/DesenPross.scala:181), a short 7-field variant for
+dirty rows (~10%), and a trailing '|' on ~14% of rows to pin the Java
+``split(sep, 0)`` trailing-empty-drop semantics cross-engine.
+
+Determinism discipline (registry.py): every computed column aliased
+identically on both sides; float aggregates scaled to BIGINT cents before
+summing; timestamps emitted as formatted strings; int widths normalized to
+BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.functions import lines as L
+from sparkstreamingflume_spark.plans.registry import query
+from sparkstreamingflume_spark.schemas import GPRS_PROJECTION
+from sparkstreamingflume_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared synthesized line corpus (Spark builder ≡ SQL CTE, field by field)
+# ---------------------------------------------------------------------------
+
+# Fields 7..43 of a clean 44-field line are fixed fillers f08..f44.
+_FILLER = "".join(f"|f{i:02d}" for i in range(8, 45))
+
+LINES_CTE = f"""
+lines AS (
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(60 + l_orderkey % 11 AS VARCHAR) AS rec_type,
+           concat_ws('|', 60 + l_orderkey % 11, l_orderkey, l_partkey,
+                     l_suppkey, l_linenumber, l_returnflag, l_linestatus)
+           || CASE WHEN l_orderkey % 10 = 0 THEN '' ELSE '{_FILLER}' END
+           || CASE WHEN l_orderkey % 7 = 0 THEN '|' ELSE '' END AS line
+    FROM lineitem
+)"""
+
+# Java-split field array of `line` (1-based in DuckDB; trailing empties
+# dropped to match functions/lines.py `line_fields`).
+_ARR = r"string_split(regexp_replace(line, '\|+$', ''), '|')"
+
+
+def _cdr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of LINES_CTE — must stay field-identical to it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rec_type = (F.lit(60) + F.col("l_orderkey") % 11).cast("string")
+    base = F.concat_ws(
+        "|",
+        rec_type,
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    line = F.concat(
+        base,
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit("")).otherwise(F.lit(_FILLER)),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit("|")).otherwise(F.lit("")),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rec_type.alias("rec_type"),
+        line.alias("line"),
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# Restricted enrichment dim: drop every third customer so inner-vs-left join
+# semantics actually diverge on the events fact (reference J1 drops records
+# whose (lac,ci) misses the broadcast map, src/ProcessSums.scala:441-446).
+_DIM_SQL = """
+dim AS (
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 3 <> 0
+)"""
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    nat = load_table(spark, sf_dir, "nation")
+    return cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.1 Sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lookup_build",
+    """
+    SELECT concat_ws(',', n_nationkey, n_regionkey) AS map_key,
+           n_name AS map_value
+    FROM nation
+    """,
+    doc="S4 — lookup-map loader: keyed dim frame, key=f0+','+f1, value=f2 "
+    "(reference src/StreamingSocketProcess.scala:46-59).",
+    tags=("source", "S4"),
+)
+def q_lookup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    return nat.select(
+        F.concat_ws(",", "n_nationkey", "n_regionkey").alias("map_key"),
+        F.col("n_name").alias("map_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.2 Projections / filters / per-record transforms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_project_kv",
+    """
+    SELECT event_id, event_type AS filename, props AS value FROM events
+    """,
+    doc="P1 — event→(routing key, body) projection; Spark side goes through "
+    "a map column like the Flume header access "
+    "(reference src/StreamingFlumeProcess.scala:117-121).",
+    tags=("transform", "P1"),
+)
+def q_project_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    headers = F.create_map(F.lit("flieName"), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        headers["flieName"].alias("filename"),
+        F.col("props").alias("value"),
+    )
+
+
+@query(
+    "q_filter_prefix",
+    f"WITH {LINES_CTE} SELECT line FROM lines WHERE line LIKE '61%'",
+    doc="P2 — prefix predicate routing, the 11-way startsWith fan-out "
+    "(reference src/StreamingSocketProcess.scala:138-159).",
+    tags=("transform", "P2"),
+)
+def q_filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cdr_lines(spark, sf_dir)
+        .filter(F.col("line").startswith("61"))
+        .select("line")
+    )
+
+
+@query(
+    "q_field_extract",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN len({_ARR}) > 5 THEN {_ARR}[6] ELSE 'ERROR' END AS f5,
+           'ERROR' AS f_oob
+    FROM lines
+    """,
+    doc="P3 — positional field extract; out-of-range → 'ERROR' sentinel "
+    "(reference src/DesenPross.scala:53-64).",
+    tags=("transform", "P3"),
+)
+def q_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        L.field_extract("line", 5).alias("f5"),
+        L.field_extract("line", 50).alias("f_oob"),
+    )
+
+
+@query(
+    "q_md5_mask",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_transform({_ARR},
+               (x, i) -> CASE WHEN i - 1 = 1 THEN md5(x) ELSE x END), '|') AS masked
+    FROM lines
+    """,
+    doc="P4 — single-field MD5 mask, rebuild joined line "
+    "(reference src/DesenPross.scala:94-115; digest src/MD5.java:163-284).",
+    tags=("transform", "P4"),
+)
+def q_md5_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.select(
+        "l_orderkey", "l_linenumber", L.mask_fields("line", [1]).alias("masked")
+    )
+
+
+@query(
+    "q_md5_mask_multi",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_transform({_ARR},
+               (x, i) -> CASE WHEN i - 1 IN (1, 2, 5) THEN md5(x) ELSE x END), '|') AS masked
+    FROM lines
+    """,
+    doc="P5 — multi-field MD5 mask in one pass (reference folds P4, "
+    "src/DesenPross.scala:146-153).",
+    tags=("transform", "P5"),
+)
+def q_md5_mask_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.select(
+        "l_orderkey", "l_linenumber", L.mask_fields("line", [1, 2, 5]).alias("masked")
+    )
+
+
+@query(
+    "q_field_drop",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_filter(
+               list_transform({_ARR},
+                   (x, i) -> CASE WHEN i - 1 IN (2, 4) THEN NULL ELSE x END),
+               x -> x IS NOT NULL), '|') AS dropped
+    FROM lines
+    """,
+    doc="P6/P7 — drop fields {2,4} in a single pass; the reference's "
+    "shifting-index fold (src/DesenPross.scala:123-142,157-165) is "
+    "unnecessary in one pass.",
+    tags=("transform", "P6", "P7"),
+)
+def q_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.select(
+        "l_orderkey", "l_linenumber", L.drop_fields("line", [2, 4]).alias("dropped")
+    )
+
+
+_PROJ_SQL = ", ".join(f"{_ARR}[{i + 1}]" for i in GPRS_PROJECTION)
+
+
+@query(
+    "q_project_44to10",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN len({_ARR}) = 44
+                THEN concat_ws('|', {_PROJ_SQL})
+                ELSE '' END AS projected
+    FROM lines
+    """,
+    doc="P8 — fixed 44→10 projection; non-44-field lines → '' "
+    "(reference processData, src/DesenPross.scala:167-176).",
+    tags=("transform", "P8"),
+)
+def q_project_44to10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        L.project_fields("line", GPRS_PROJECTION, n_fields=44).alias("projected"),
+    )
+
+
+@query(
+    "q_dirty_filter",
+    f"WITH {LINES_CTE} SELECT line FROM lines WHERE len({_ARR}) = 44",
+    doc="P9 — dirty-record filter: keep records whose Java-split width "
+    "matches the schema (reference src/ProcessSums.scala:435). Lines with "
+    "a trailing '|' still count 44 — pins split(sep,0) semantics.",
+    tags=("transform", "P9"),
+)
+def q_dirty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    return df.filter(L.dirty_filter("line", 44)).select("line")
+
+
+@query(
+    "q_date_bucket",
+    """
+    SELECT strftime(ts, '%Y%m%d') AS dt,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="P13 — timestamp → yyyyMMdd/hour bucketing, the reference's output "
+    "path partitioning (src/StreamingFlumeProcess.scala:140-141; "
+    "src/ProcessSums.scala:252-255).",
+    tags=("transform", "P13"),
+)
+def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("dt"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="P11-adjacent — typed value extraction from the semi-structured "
+    "props payload (map-literal lookup analog, src/DesenPross.scala:43-47).",
+    tags=("transform", "P11"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_broadcast_join",
+    f"""
+    WITH {_DIM_SQL}
+    SELECT e.event_id,
+           md5(CAST(e.user_id AS VARCHAR)) AS masked_user,
+           d.n_name AS flag,
+           e.event_type
+    FROM events e JOIN dim d ON e.user_id = d.c_custkey
+    """,
+    doc="J1 — broadcast inner enrichment join on the lookup key + MD5 mask "
+    "projection; non-matches dropped (reference broadcast at "
+    "src/StreamingSocketProcess.scala:112-120, probe/filter/project at "
+    "src/ProcessSums.scala:422-450). Plan must be BroadcastHashJoin.",
+    tags=("join", "J1"),
+    bench=True,
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dim = _dim(spark, sf_dir)
+    return ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner").select(
+        "event_id",
+        F.md5(F.col("user_id").cast("string")).alias("masked_user"),
+        F.col("n_name").alias("flag"),
+        "event_type",
+    )
+
+
+@query(
+    "q_left_join_default",
+    f"""
+    WITH {_DIM_SQL}
+    SELECT e.event_id,
+           md5(CAST(e.user_id AS VARCHAR)) AS masked_user,
+           coalesce(d.n_name, '') AS flag,
+           e.event_type
+    FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+    """,
+    doc="J2 — broadcast left-outer probe with ''-default for misses "
+    "(the bare getOrElse, reference src/ProcessSums.scala:441).",
+    tags=("join", "J2"),
+)
+def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dim = _dim(spark, sf_dir)
+    return ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left").select(
+        "event_id",
+        F.md5(F.col("user_id").cast("string")).alias("masked_user"),
+        F.coalesce("n_name", F.lit("")).alias("flag"),
+        "event_type",
+    )
+
+
+@query(
+    "q_fanout_dup",
+    """
+    SELECT e.event_id, p.partner,
+           CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e CROSS JOIN (VALUES ('yaxin'), ('yiyang')) p(partner)
+    """,
+    doc="J3 — dual-partner fan-out: every record duplicated into two "
+    "independent sink pipelines (reference src/ProcessSums.scala:336-403).",
+    tags=("join", "J3"),
+)
+def q_fanout_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.explode(F.array(F.lit("yaxin"), F.lit("yiyang"))).alias("partner"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_count",
+    "SELECT count(*) AS n FROM lineitem",
+    doc="A1 — per-batch record count "
+    "(reference src/StreamingFlumeProcess.scala:109).",
+    tags=("agg", "A1"),
+)
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_count_by_type",
+    f"""
+    WITH {LINES_CTE}
+    SELECT rec_type, count(*) AS n FROM lines GROUP BY rec_type
+    """,
+    doc="A3 — per-routing-prefix counters (reference's 5 hand-rolled "
+    "buffers, src/ProcessSums.scala:237-331, become one groupBy).",
+    tags=("agg", "A3"),
+)
+def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdr_lines(spark, sf_dir).groupBy("rec_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_group_concat",
+    f"""
+    WITH {LINES_CTE}
+    SELECT rec_type,
+           string_agg(concat_ws('-', l_orderkey, l_linenumber), ','
+                      ORDER BY concat_ws('-', l_orderkey, l_linenumber)) AS payload
+    FROM lines GROUP BY rec_type
+    """,
+    doc="A2 — grouped concatenation of same-key records into one write "
+    "payload (reference src/ProcessSum1.scala:268-308; its arrival-order "
+    "reversal is dropped — certified order-insensitively via sort).",
+    tags=("agg", "A2"),
+    bench=True,
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    item = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    return df.groupBy("rec_type").agg(
+        F.array_join(F.array_sort(F.collect_list(item)), ",").alias("payload")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.5 Windows (batch analogs over event time)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+    doc="W3 — tumbling 1h event-time window (the reference's day/hour path "
+    "partitioning as a window, src/ProcessSums.scala:252-255).",
+    tags=("window", "W3"),
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "q_window_sliding",
+    """
+    WITH slid AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS w
+        FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP)
+        FROM events
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart, count(*) AS n
+    FROM slid GROUP BY w
+    """,
+    doc="W2 — sliding window (10 min window, 5 min slide; reference uses "
+    "200 s over the socket stream, src/StreamingSocketProcess60.scala:121). "
+    "Each event lands in exactly two windows.",
+    tags=("window", "W2"),
+    bench=True,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.6 Set ops / ordering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    f"""
+    WITH {LINES_CTE}
+    SELECT line FROM lines WHERE rec_type = '61'
+    UNION ALL
+    SELECT line FROM lines WHERE rec_type = '62'
+    """,
+    doc="O1 — stream union (reference merges N receiver streams, "
+    "src/StreamingFlumeProcess.scala:102).",
+    tags=("setop", "O1"),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cdr_lines(spark, sf_dir)
+    a = df.filter(F.col("rec_type") == "61").select("line")
+    b = df.filter(F.col("rec_type") == "62").select("line")
+    return a.unionByName(b)
+
+
+@query(
+    "q_cluster_sort",
+    f"""
+    WITH {LINES_CTE}
+    SELECT rec_type,
+           CAST(row_number() OVER (PARTITION BY rec_type
+                                   ORDER BY l_orderkey, l_linenumber, line) AS BIGINT) AS rn,
+           line
+    FROM lines
+    """,
+    doc="O3 — explicit key-clustered ordering; replaces the reference's "
+    "implicit same-key-adjacency assumption "
+    "(src/ProcessSum1.scala:271,398,480) with a window rank.",
+    tags=("setop", "O3"),
+)
+def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = _cdr_lines(spark, sf_dir)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    # the full line is the final tie-break so rank order is deterministic.
+    w = Window.partitionBy("rec_type").orderBy("l_orderkey", "l_linenumber", "line")
+    return df.select(
+        "rec_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        "line",
+    )

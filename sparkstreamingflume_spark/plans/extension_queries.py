@@ -1,0 +1,643 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7.5 / brief).
+
+The reference engine never had these, but a 100 TB training-data pipeline
+does: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force top-k baseline + IVF
+scale path), and text analysis (language ID, quality scoring, token
+counting, fingerprinting) over the ``documents`` / ``embeddings`` tables.
+
+Scale design notes (each query's docstring has specifics):
+
+* Near-dup never materializes doc×doc — candidate generation goes through
+  an inverted index (shingle → posting list) or LSH band buckets, so the
+  join key cardinality is |shingles| / |buckets|, not |docs|².
+* All hashing uses the cross-engine ``h32`` (md5-derived) primitive from
+  ``functions/text.py`` so the DuckDB oracle reproduces signatures
+  bit-for-bit.
+* Cosine scores are floored to integer ppm (parts-per-million) before
+  ranking so cross-engine float drift cannot flip ranks.
+* Everything is Catalyst expressions — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkstreamingflume_spark.functions.text import (
+    h32,
+    h32_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from sparkstreamingflume_spark.plans.registry import query
+from sparkstreamingflume_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Tunables (kept tiny so fixture-scale results are non-trivial; the shapes
+# are what matter — the constants scale freely)
+# ---------------------------------------------------------------------------
+
+N_PERM = 16  # MinHash permutations
+N_BANDS = 4  # LSH bands (4 rows per band)
+N_BITS = 16  # SimHash signature width
+JACCARD_MIN_PPM = 80_000  # 0.08 — low so the synthetic corpus yields pairs
+TOPK = 5
+N_QUERIES = 10  # similarity-search probe set: vec_id < 10
+N_CENTROIDS = 8  # IVF: vec_id < 8 act as centroids
+FP_MOD = 16  # fingerprint: keep shingle hashes ≡ 0 (mod 16)
+
+_SH = shingles_sql("text")
+_TOK = "string_split(text, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash: hash-groupBy keeps the minimum doc_id "
+    "per identical text (the corpus is doubled so every hash has >=2 "
+    "copies). At 100 TB this is one map-side-combinable shuffle on a "
+    "32-char key — the partial agg collapses duplicates before the "
+    "exchange. Extends reference P10 (src/MD5.java:24-33).",
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return corpus.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SH})) AS shingle FROM documents
+    ),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common))
+                AS BIGINT) AS jaccard_ppm
+    FROM common
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common)
+          >= {JACCARD_MIN_PPM}
+    """,
+    doc="Near-dup by 3-gram Jaccard: inverted index (shingle -> posting "
+    "list) self-joined on the shingle, so candidate pairs are generated "
+    "per shared shingle — never a doc×doc cross join. At 100 TB you "
+    "additionally drop stop-shingles (df above a cutoff) to bound "
+    "posting-list skew; AQE skew-join splitting covers the remainder.",
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
+    )
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = card.alias("ca"), card.alias("cb")
+    jac = F.col("n_common") * 1_000_000.0 / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_MIN_PPM)
+        .select("doc_a", "doc_b", F.floor(jac).cast("long").alias("jaccard_ppm"))
+    )
+
+
+def _minhash_sig(text: F.Column) -> F.Column:
+    """array<long> of N_PERM MinHash values (min over shingle hashes)."""
+    sh = shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                sh, lambda s: h32(F.concat(j.cast("string"), F.lit(":"), s))
+            )
+        ),
+    )
+
+
+_PERM_HASH = h32_sql("j::VARCHAR || ':' || s")
+_SIG_SQL = (
+    f"list_transform(generate_series(0, {N_PERM - 1}), "
+    f"j -> list_min(list_transform({_SH}, s -> {_PERM_HASH})))"
+)
+
+
+@query(
+    "q_dedup_minhash",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id, {_SIG_SQL} AS sig FROM documents
+        WHERE len({_TOK}) >= 3
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(sig[4 * b + 1 : 4 * b + 4], ',')) AS band_hash
+        FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+    """,
+    doc="Near-dup candidates via MinHash + LSH banding: 16 md5-derived "
+    "permutations -> 4 bands of 4 rows -> docs sharing any band bucket "
+    "become a candidate pair. The join key is (band, band_hash) — bucket "
+    "cardinality, not doc² — which is the 100 TB-safe shape; a verify "
+    "pass (q_dedup_ngram_jaccard on candidates only) confirms.",
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
+    sigs = d.select("doc_id", _minhash_sig(F.col("text")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * 4 + 1, 4),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("b", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_BITSUM_SQL = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(N_BITS)
+)
+_BITS_SQL = " + ".join(
+    f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_BITS)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    f"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    tok AS (SELECT doc_id, {h32_sql('tok')} AS h FROM tok0),
+    votes AS (SELECT doc_id, {_BITSUM_SQL} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({_BITS_SQL} AS BIGINT) AS simhash FROM votes
+    """,
+    doc="SimHash document signature: every token votes ±1 on each of 16 "
+    "bits of its h32 hash; the sign of the per-bit sum is the signature "
+    "bit. One explode + one 16-column groupBy — map-side combinable, "
+    "shuffle bounded by |docs|. Near-dups then differ in <=k bits "
+    "(hamming ball probing at scale).",
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id", h32(F.col("tok")).alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(N_BITS)
+        ]
+    )
+    bits = None
+    for j in range(N_BITS):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return votes.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_DOT = "list_dot_product(a.emb, b.emb)"
+_COS_PPM = f"floor({_DOT} * 1000000.0 / (a.norm * b.norm))"
+
+_EMB_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+"""
+
+
+def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[], norm) — the shared similarity input."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("emb", "emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.withColumn("norm", F.sqrt(dot_self))
+
+
+def _cos_ppm() -> F.Column:
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(dot * 1_000_000.0 / (F.col("a.norm") * F.col("b.norm")))
+
+
+@query(
+    "q_embed_topk",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+        FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id, vec_id, cos_ppm,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_ppm DESC, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= {TOPK}
+    """,
+    doc="Brute-force cosine top-k: 10 probe vectors scored against the full "
+    "corpus (nested-loop broadcast of the tiny probe side), ranked on the "
+    "ppm-floored score so float drift can't flip ranks. This is the exact "
+    "baseline; q_embed_ivf is the scale path (probe only 1/K of the "
+    "corpus). 100 TB: probes broadcast, corpus scan stays partitioned — "
+    "no shuffle at all until the per-query top-k heap (TakeOrdered per "
+    "group via window on q_id).",
+    tags=("similarity",),
+    bench=True,
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    corpus = e.alias("b")
+    scored = (
+        corpus.join(
+            F.broadcast(probes), F.col("a.vec_id") != F.col("b.vec_id"), "inner"
+        )
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            _cos_ppm().cast("long").alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_ppm").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+    )
+
+
+@query(
+    "q_embed_ivf",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    scored AS (
+        SELECT b.vec_id, a.vec_id AS centroid_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+        FROM e a JOIN e b ON a.vec_id < {N_CENTROIDS}
+    )
+    SELECT vec_id, centroid_id, cos_ppm
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_ppm DESC, centroid_id) AS rn
+          FROM scored) t
+    WHERE rn = 1
+    """,
+    doc="IVF assignment step (the scale path for similarity search): every "
+    "vector is assigned to its nearest of K centroids (broadcast, here "
+    "the first 8 vectors standing in for k-means centroids). Search then "
+    "probes only the query's cell(s): corpus partitioned/bucketed by "
+    "centroid_id, candidate set |corpus|/K per query instead of |corpus|.",
+    tags=("similarity",),
+)
+def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).alias("a")
+    corpus = e.alias("b")
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("a.vec_id").alias("centroid_id"),
+        _cos_ppm().cast("long").alias("cos_ppm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_dedup_embed_cosine",
+    f"""
+    WITH e AS ({_EMB_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_PPM} >= 350000
+    """,
+    doc="Embedding-cosine near-dup pairs (brute force at fixture scale; the "
+    "documented scale path is q_embed_ivf bucketing first, then pairs "
+    "only within a cell — |corpus|²/K instead of |corpus|²).",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos_ppm().cast("long").alias("cos_ppm"),
+        )
+        .filter(F.col("cos_ppm") >= 350_000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           sum(len({_TOK})) AS sum_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus rollup by (lang, source): doc/char/token totals — the "
+    "monitoring aggregate every training-data pipeline runs first.",
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.size(tokens("text"))).alias("sum_tokens"),
+    )
+
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_ES = ("el", "la", "de", "los", "que", "y", "en")
+_STOP_DE = ("der", "die", "das", "und", "ist", "von", "zu")
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "q_text_lang_id",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_EN)}))) AS s_en,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_ES)}))) AS s_es,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_DE)}))) AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM scores
+    """,
+    doc="Language ID by stopword-hit voting (n-gram heuristic family): "
+    "count tokens in per-language stopword lists, argmax with a fixed "
+    "priority tie-break. Pure codegen'd expressions, trivially parallel.",
+    tags=("text",),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = tokens("text")
+
+    def score(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+    s = d.select(
+        "doc_id",
+        "lang",
+        score(_STOP_EN).alias("s_en"),
+        score(_STOP_ES).alias("s_es"),
+        score(_STOP_DE).alias("s_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return s.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+_PUNCT_RE = "[^a-z0-9 ]"
+
+
+@query(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           CAST(floor(100.0 * n_chars / len({_TOK})) AS BIGINT)
+               AS chars_per_token_c,
+           CAST(len(regexp_extract_all(lower(text), '{_PUNCT_RE}')) AS BIGINT)
+               AS n_punct,
+           CAST(floor(len(list_filter({_TOK},
+                    t -> t IN ({_sql_in(_STOP_EN)}))) * 1000000.0
+                / len({_TOK})) AS BIGINT) AS stopword_ppm
+    FROM documents
+    """,
+    doc="Per-doc quality features: token count, chars-per-token (x100), "
+    "punctuation count, stopword ratio (ppm) — the standard cheap "
+    "quality-filter inputs (C4/Gopher-style rules compose from these).",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = tokens("text")
+    n_tok = F.size(tok).cast("long")
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*_STOP_EN))).cast("long")
+    stop_ppm = F.floor(stop_hits * 1_000_000.0 / n_tok)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(100.0 * F.col("n_chars") / n_tok).cast("long").alias(
+            "chars_per_token_c"
+        ),
+        F.regexp_count(F.lower("text"), F.lit(_PUNCT_RE)).cast("long").alias(
+            "n_punct"
+        ),
+        stop_ppm.cast("long").alias("stopword_ppm"),
+    )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace split and a BPE-ish regex "
+    "(letter runs / digit runs / single symbols) — the budget metric for "
+    "training-data sizing.",
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SH})) AS shingle FROM documents
+    )
+    SELECT DISTINCT doc_id, {h32_sql('shingle')} AS fp_hash
+    FROM sh
+    WHERE {h32_sql('shingle')} % {FP_MOD} = 0
+    """,
+    doc="Document fingerprinting (0-mod-p sampling of shingle hashes, the "
+    "winnowing family): keeps ~1/16 of shingle hashes as the doc's "
+    "fingerprint set for containment / plagiarism checks. Inverted-index "
+    "joinable at scale like q_dedup_ngram_jaccard.",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
+    )
+    return (
+        sh.select("doc_id", h32(F.col("shingle")).alias("fp_hash"))
+        .filter(F.col("fp_hash") % FP_MOD == 0)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT)
+                % 1216 AS BIGINT) AS fake_width
+    FROM documents
+    """,
+    doc="Multimodal column plumbing: treat content as an opaque binary "
+    "payload with typed metadata (byte length, content digest, decoded "
+    "dimensions — here a deterministic fake; real decode lives in "
+    "extensions/multimodal.py behind mapInPandas). Proves the "
+    "binary-column schema + metadata-extraction path end to end.",
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        (F.lit(64) + h32(payload) % 1216).cast("long").alias("fake_width"),
+    )

@@ -1,0 +1,312 @@
+"""Relational-surface queries (SURVEY.md §2.3 note / §7.5).
+
+The reference has exactly one join shape (broadcast hash, J1/J2) and no
+distinct / grouping sets / window functions / set ops — Spark SQL provides
+all of them for free. These queries certify that surface so a reference
+user gets a strictly larger relational engine. All are pure DataFrame
+declarations: Catalyst chooses the physical strategy (sort-merge for
+big×big, broadcast under the threshold), AQE re-plans at runtime.
+
+Determinism discipline (registry.py): money aggregates are scaled to
+BIGINT cents per row before summing; timestamps formatted as strings;
+ranks tie-broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sparkstreamingflume_spark.plans.registry import query
+from sparkstreamingflume_spark.session import load_table
+
+# Money → exact integer cents, identically on both engines (floor on
+# identical doubles is bit-deterministic; BIGINT sums are order-free).
+_CENTS = "CAST(floor({col} * 100) AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+@query(
+    "q_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           sum({_CENTS.format(col='l_extendedprice')}) AS sum_base_cents,
+           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')}) AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing-summary hash aggregate (TPC-H Q1 shape) — the canonical "
+    "scan→filter→partial-agg→final-agg pipeline; map-side combine keeps the "
+    "shuffle at |groups| rows.",
+    tags=("relational", "agg"),
+    bench=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(F.floor(disc * 100).cast("long")).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_join_bigbig",
+    f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           sum({_CENTS.format(col='l.l_extendedprice')}) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Big×big equi-join (orders ⋈ lineitem) + rollup. Both sides exceed "
+    "any broadcast threshold at scale → Catalyst picks shuffled sort-merge "
+    "join; AQE handles skewed orderkeys. Complements the reference's only "
+    "join shape (broadcast J1).",
+    tags=("relational", "join"),
+    bench=True,
+)
+def q_join_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    """,
+    doc="Left-semi join: customers with ≥1 recent order. Semi joins ship "
+    "only the probe side's columns — no fact-row duplication at scale.",
+    tags=("relational", "join"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join: customers with no orders at all.",
+    tags=("relational", "join"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="Distinct (hash-aggregate without measures); partial distinct on "
+    "the map side bounds the shuffle at |distinct values|.",
+    tags=("relational", "agg"),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping-sets aggregate with grouping_id disambiguation "
+    "(NULL group values coalesced to a sentinel so real NULLs can't alias).",
+    tags=("relational", "agg"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping-sets aggregate over orders.",
+    tags=("relational", "agg"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_rank_topn_per_group",
+    f"""
+    SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey,
+               {_CENTS.format(col='o_totalprice')} AS price_cents,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Window row_number top-N per group (unique-key tie-break so the "
+    "result set is deterministic across engines).",
+    tags=("relational", "window"),
+)
+def q_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            _cents("o_totalprice").alias("price_cents"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_lag_delta",
+    """
+    SELECT user_id, event_id,
+           coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000000,
+               -1) AS gap_s
+    FROM events
+    """,
+    doc="lag() window: per-user inter-event gap in seconds (-1 for the "
+    "first event). The sessionization primitive a CDR pipeline needs. "
+    "Computed on integer microseconds both sides — second-truncated vs "
+    "fractional epoch differ across engines.",
+    tags=("relational", "window"),
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        gap_us.alias("gap_us"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.expr("gap_us div 1000000"), F.lit(-1)).cast("long").alias("gap_s"),
+    )
+
+
+@query(
+    "q_intersect",
+    """
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    doc="INTERSECT (distinct) of two part-key sets.",
+    tags=("relational", "setop"),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    """
+    SELECT p_partkey AS partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    """,
+    doc="EXCEPT (distinct): parts never shipped.",
+    tags=("relational", "setop"),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.subtract(li)
+
+
+@query(
+    "q_topk",
+    f"""
+    SELECT o_orderkey, {_CENTS.format(col='o_totalprice')} AS price_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-K by value (TakeOrderedAndProject — per-partition heaps "
+    "+ a K-row driver merge, no full sort at scale).",
+    tags=("relational", "sort"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", _cents("o_totalprice").alias("price_cents"))
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

@@ -38,15 +38,17 @@ class RecordType:
 
 # The six socket-routed CDR types (reference
 # src/StreamingSocketProcess.scala:18-23): 2G/3G call records (97/91
-# fields, phones at 12,15, LAC/CI at 23,24), SMS (50 fields, phone at 11,
-# LAC/CI 18,19), and address records (61 fields, phones 13,16, LAC/CI 21,22).
+# fields, phones at 12,15, LAC/CI at 23,24), address records (50 fields,
+# phone at 11, LAC/CI 18,19), and SMS (61 fields, phones 13,16, LAC/CI
+# 21,22). start-time index is 1 for every type (all six Process ctors pass
+# starttime=1).
 RECORD_TYPES: dict[str, RecordType] = {
-    "61": RecordType("61", 97, (12, 15), 9, 23, 24, tag="call2g"),
-    "62": RecordType("62", 91, (12, 15), 9, 23, 24, tag="call3g"),
-    "63": RecordType("63", 50, (11,), 8, 18, 19, tag="sms2g"),
-    "64": RecordType("64", 50, (11,), 8, 18, 19, tag="sms3g"),
-    "65": RecordType("65", 61, (13, 16), 10, 21, 22, tag="addr2g"),
-    "66": RecordType("66", 61, (13, 16), 10, 21, 22, tag="addr3g"),
+    "61": RecordType("61", 97, (12, 15), 1, 23, 24, tag="2g_call"),
+    "62": RecordType("62", 91, (12, 15), 1, 23, 24, tag="3g_call"),
+    "63": RecordType("63", 50, (11,), 1, 18, 19, tag="2g_address"),
+    "64": RecordType("64", 50, (11,), 1, 18, 19, tag="3g_address"),
+    "65": RecordType("65", 61, (13, 16), 1, 21, 22, tag="2g_sms"),
+    "66": RecordType("66", 61, (13, 16), 1, 21, 22, tag="3g_sms"),
 }
 
 # Archive-only prefixes (no parsing — raw passthrough to the per-type sink;

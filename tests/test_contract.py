@@ -1,0 +1,57 @@
+"""Driver-contract sanity: registry integrity + flagship smoke at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_registry_names_and_oracles():
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in o.values())
+
+
+def test_all_oracles_parse_in_duckdb():
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, sql in E.oracle_sql().items():
+        con.execute("EXPLAIN " + sql)
+
+
+def test_entry_flagship(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["dt", "nation", "n_events", "n_users", "sum_value_cents"]
+
+
+def test_broadcast_join_plan_is_broadcast(spark):
+    """J1's physical plan must be BroadcastHashJoin, not SortMergeJoin
+    (reference broadcasts the dim map, src/StreamingSocketProcess.scala:112-120)."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    df = REGISTRY["q_broadcast_join"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bench_queries_marked():
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    assert sum(1 for q in REGISTRY.values() if q.bench) >= 5

@@ -1,0 +1,12 @@
+"""Structured Streaming layer (SURVEY.md §2.1/§2.5/§2.7, build plan M3).
+
+``sources`` — file-drop landing dir (the Flume integration point), socket,
+rate; plus the S4/S5 lookup-table loaders.
+``pipeline`` — the route → conform → mask → enrich transformation graph
+(pure DataFrame→DataFrame functions, so batch and streaming share one
+code path and equivalence is testable).
+``sinks`` — foreachBatch partitioned text/parquet writers with the
+reference's layout (rec_type/dt/hr dirs, size-bounded files), dual-write.
+"""
+
+from sparkstreamingflume_spark.streaming import pipeline, sinks, sources  # noqa: F401

@@ -1,0 +1,120 @@
+"""The route → conform → mask → enrich transformation graph.
+
+Mirrors the reference's socket pipeline
+(src/StreamingSocketProcess.scala:138-266): 11-way prefix routing, per-type
+dirty-record filtering, phone-field MD5 masking, and broadcast-map
+enrichment keyed on ``lac + ',' + ci``
+(probe/filter/project: processTable, src/ProcessSums.scala:422-450).
+
+Everything is a pure ``DataFrame -> DataFrame`` function of built-in
+expressions, so the SAME code path serves batch frames and streaming
+micro-batches — batch≡stream equivalence is a unit test, not a hope.
+At scale: routing is a single derived column (one scan, no 11 filters),
+masking is per-row expression work (codegen), enrichment is a broadcast
+hash join — no shuffle anywhere in the per-record path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.functions import lines as L
+from sparkstreamingflume_spark.schemas import ARCHIVE_PREFIXES, RECORD_TYPES, RecordType
+
+
+def route(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """P2 — derive the 2-char routing prefix once (replaces the reference's
+    11 independent ``filter(_.startsWith(...))`` passes over a cached
+    stream, src/StreamingSocketProcess.scala:138-159). Unknown prefixes get
+    rec_type='??' and flow to the dead-letter path."""
+    prefix = F.substring(F.col(value_col), 1, 2)
+    known = sorted(RECORD_TYPES) + list(ARCHIVE_PREFIXES)
+    return df.withColumn(
+        "rec_type", F.when(prefix.isin(known), prefix).otherwise(F.lit("??"))
+    )
+
+
+def conform(df: DataFrame, rt: RecordType, value_col: str = "value") -> DataFrame:
+    """P9 — keep records whose split width matches the schema
+    (src/ProcessSums.scala:435)."""
+    return df.filter(L.dirty_filter(F.col(value_col), rt.n_fields, sep=rt.sep))
+
+
+def mask(df: DataFrame, rt: RecordType, value_col: str = "value") -> DataFrame:
+    """P4/P5 — MD5-mask the type's phone fields in place
+    (src/DesenPross.scala:94-115; applied per type as in
+    src/StreamingFlumeProcess.scala:146-149)."""
+    return df.withColumn(
+        value_col, L.mask_fields(F.col(value_col), rt.phone_idx, sep=rt.sep)
+    )
+
+
+def enrich(
+    df: DataFrame,
+    rt: RecordType,
+    lookup: DataFrame,
+    how: str = "inner",
+    value_col: str = "value",
+) -> DataFrame:
+    """J1/J2 — broadcast enrichment join on ``lac + ',' + ci``.
+
+    ``inner`` reproduces the reference's getOrElse + non-empty filter
+    (drop non-matches, src/ProcessSums.scala:441-446); ``left`` keeps all
+    records with flag='' for misses (J2). Output mirrors processTable's
+    projection: (value, start_time, flag, tag).
+    """
+    key = F.concat_ws(
+        ",",
+        L.field_extract(F.col(value_col), rt.lac_idx, sep=rt.sep),
+        L.field_extract(F.col(value_col), rt.ci_idx, sep=rt.sep),
+    )
+    joined = df.withColumn("lookup_key", key).join(
+        F.broadcast(lookup), F.col("lookup_key") == F.col("map_key"), how
+    )
+    flag = F.col("map_value") if how == "inner" else F.coalesce("map_value", F.lit(""))
+    return joined.select(
+        F.col(value_col),
+        L.field_extract(F.col(value_col), rt.start_time_idx, sep=rt.sep).alias(
+            "start_time"
+        ),
+        flag.alias("flag"),
+        F.lit(rt.tag).alias("tag"),
+    )
+
+
+def process_type(
+    df: DataFrame, rt: RecordType, lookup: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Full per-type pipeline: conform → mask → enrich (the body of each
+    of the reference's six per-type FTP pipelines,
+    src/StreamingSocketProcess.scala:178-266)."""
+    return enrich(mask(conform(df, rt), rt), rt, lookup, how=how)
+
+
+def routed_pipeline(df: DataFrame, lookup: DataFrame, how: str = "inner") -> DataFrame:
+    """The whole 6-type graph on one routed stream: union of per-type
+    pipelines (one scan feeds all types; Catalyst pushes each type's
+    conform filter to its branch)."""
+    routed = route(df)
+    parts = [
+        process_type(routed.filter(F.col("rec_type") == p), rt, lookup, how=how)
+        for p, rt in sorted(RECORD_TYPES.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def archive_frame(df: DataFrame) -> DataFrame:
+    """The raw archive path (types 60/67-70,
+    src/StreamingSocketProcess60.scala:134-202): pass-through with routing
+    + ingest-time bucketing columns for partitioned sinks (P13)."""
+    routed = route(df)
+    return routed.filter(F.col("rec_type").isin(*ARCHIVE_PREFIXES)).select(
+        "value",
+        "rec_type",
+        F.date_format(F.current_timestamp(), "yyyyMMdd").alias("dt"),
+        F.hour(F.current_timestamp()).alias("hr"),
+    )

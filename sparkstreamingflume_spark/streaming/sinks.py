@@ -1,0 +1,109 @@
+"""foreachBatch sinks (SURVEY.md §2.7, K1/K5/K8/K9 equivalents).
+
+Spark cannot append to a single file (K2); the contract is dir-level
+append — one size-bounded file set per micro-batch under
+``rec_type=<t>/dt=<d>/hr=<h>`` partitions, which is exactly what the
+reference's hand-rolled buffered writers produced
+(src/ProcessSums.scala:237-331) minus the driver-side state.
+
+The FTP sink (K3/K4) with the tmp+rename commit protocol lives in
+``extensions/ftp_sink.py`` — side-effecting, unit-tested, never in the
+oracle path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_partitioned_text(
+    batch: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("rec_type",),
+    max_records_per_file: int = 100_000,
+    value_col: str = "value",
+) -> None:
+    """K1/K5/K9 — one call per micro-batch: partitioned, size-bounded text.
+
+    ``maxRecordsPerFile`` replaces the reference's ``cache``-records flush
+    counter (src/ProcessSum1.scala:276-285); ``partitionBy`` replaces the
+    5 hand-rolled per-prefix buffers (src/ProcessSums.scala:243-311).
+    """
+    (
+        batch.select(*partition_cols, value_col)
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .text(path)
+    )
+
+
+def dual_write(
+    batch: DataFrame,
+    primary: Callable[[DataFrame], None],
+    secondary: Callable[[DataFrame], None],
+) -> None:
+    """K8 — every batch written to two targets. The batch frame is
+    persisted once so the two writes share one computation (the reference
+    re-enumerated its buffers per target, src/ProcessSum1.scala:244-324)."""
+    batch.persist()
+    try:
+        primary(batch)
+        secondary(batch)
+    finally:
+        batch.unpersist()
+
+
+def start_pipeline(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    query_name: str = "pipeline",
+) -> StreamingQuery:
+    """Wire a transformed stream into a foreachBatch sink with checkpoint
+    recovery (W4 — ssc.checkpoint + getOrCreate,
+    src/StreamingFlumeProcess.scala:75,245-248: restart with the same
+    checkpoint_dir resumes from recorded offsets, exactly-once per batch).
+
+    ``trigger_seconds`` mirrors the reference's batchInterval (W1,
+    hard-coded 20 s in src/StreamingSocketProcess64.scala:83);
+    ``available_now`` drains everything then stops (tests, backfills).
+    """
+    writer = stream_df.writeStream.queryName(query_name).foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "200 seconds",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """W2/W3 — event-time windowed counts with late-data handling.
+
+    The reference's 200 s processing-time sliding window
+    (src/StreamingSocketProcess60.scala:121) becomes an event-time window
+    + watermark — deterministic under replay, which processing-time never
+    was.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("w.start", "w.end", "n")
+    )

@@ -1,0 +1,192 @@
+"""M3 streaming tests (SURVEY.md §5.2).
+
+Equivalence: the multiset of records out of the streamed pipeline
+(file-drop source, micro-batched) must equal the batch pipeline applied
+to the same lines — micro-batch boundaries must not change results.
+Checkpoint: restarting with the same checkpoint dir processes only new
+files (W4). Empty input: no output, no crash (A4).
+"""
+
+from __future__ import annotations
+
+import socket as pysocket
+import threading
+import time
+from collections import Counter
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.schemas import RECORD_TYPES
+from sparkstreamingflume_spark.streaming import pipeline, sinks, sources
+
+
+def make_line(prefix: str, i: int) -> str:
+    rt = RECORD_TYPES[prefix]
+    fields = [f"x{j}" for j in range(rt.n_fields)]
+    fields[0] = prefix + f"rec{i}"
+    fields[rt.start_time_idx] = f"2024-01-0{1 + i % 9} 10:00:0{i % 10}"
+    for p in rt.phone_idx:
+        fields[p] = f"1380000{i:04d}"
+    fields[rt.lac_idx] = f"L{i % 5}"
+    fields[rt.ci_idx] = f"C{i % 3}"
+    return rt.sep.join(fields)
+
+
+def corpus(n_per_type: int = 20) -> list[str]:
+    out = []
+    for prefix in sorted(RECORD_TYPES):
+        out += [make_line(prefix, i) for i in range(n_per_type)]
+    out += [f"60raw{i}" for i in range(5)]  # archive-only prefix
+    out += [f"99junk{i}" for i in range(3)]  # unknown -> dead letter
+    return out
+
+
+@pytest.fixture(scope="module")
+def lookup(spark):
+    # keys cover lac L0..L4 x ci C0..C2 minus a few -> inner join drops some
+    rows = [
+        (f"L{a},C{b}", f"label{a}{b}")
+        for a in range(5)
+        for b in range(3)
+        if not (a == 4 and b == 2)
+    ]
+    return spark.createDataFrame(rows, ["map_key", "map_value"])
+
+
+def batch_result(spark, lines: list[str], lookup) -> Counter:
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    rows = pipeline.routed_pipeline(df, lookup, how="inner").collect()
+    return Counter(tuple(r) for r in rows)
+
+
+def drain_to_parquet(spark, landing: str, out: str, ckpt: str, lookup) -> None:
+    stream = sources.file_drop(spark, landing, max_files_per_trigger=2)
+    transformed = pipeline.routed_pipeline(stream, lookup, how="inner")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = sinks.start_pipeline(
+        transformed, sink, ckpt, available_now=True, query_name="t_equiv"
+    )
+    q.awaitTermination(120)
+
+
+def read_counter(spark, out: str) -> Counter:
+    try:
+        rows = spark.read.parquet(out).collect()
+    except Exception:
+        return Counter()
+    return Counter(tuple(r) for r in rows)
+
+
+def test_stream_equals_batch(spark, tmp_path, lookup):
+    lines = corpus()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # several files -> several micro-batches (maxFilesPerTrigger=2)
+    for i in range(5):
+        chunk = lines[i::5]
+        (landing / f"part{i}.txt").write_text("\n".join(chunk) + "\n")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drain_to_parquet(spark, str(landing), out, ckpt, lookup)
+
+    assert read_counter(spark, out) == batch_result(spark, lines, lookup)
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path, lookup):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    first = [make_line("61", i) for i in range(10)]
+    (landing / "a.txt").write_text("\n".join(first) + "\n")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drain_to_parquet(spark, str(landing), out, ckpt, lookup)
+    n_first = sum(read_counter(spark, out).values())
+
+    second = [make_line("61", i) for i in range(10, 25)]
+    (landing / "b.txt").write_text("\n".join(second) + "\n")
+    drain_to_parquet(spark, str(landing), out, ckpt, lookup)
+
+    total = read_counter(spark, out)
+    expect = batch_result(spark, first + second, lookup)
+    assert total == expect  # b.txt processed exactly once, a.txt not re-run
+    assert sum(total.values()) > n_first
+
+
+def test_empty_landing_dir_is_noop(spark, tmp_path, lookup):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drain_to_parquet(spark, str(landing), out, ckpt, lookup)
+    assert read_counter(spark, out) == Counter()
+
+
+def test_masking_and_enrichment_content(spark, lookup):
+    """Spot-check one record end to end: phones masked, flag from lookup."""
+    import hashlib
+
+    rt = RECORD_TYPES["61"]
+    line = make_line("61", 1)
+    df = spark.createDataFrame([(line,)], ["value"])
+    row = pipeline.process_type(df, rt, lookup, how="inner").collect()[0]
+    fields = row.value.split(",")
+    raw = line.split(",")
+    for p in rt.phone_idx:
+        assert fields[p] == hashlib.md5(raw[p].encode()).hexdigest()
+    assert row.flag == "label11"  # L1,C1
+    assert row.tag == "2g_call"
+    assert row.start_time == raw[rt.start_time_idx]
+
+
+def test_inner_drops_left_defaults(spark, lookup):
+    """J1 vs J2 semantics on a key missing from the lookup (L4,C2)."""
+    rt = RECORD_TYPES["61"]
+    line = make_line("61", 14)  # i=14 -> L4, C2 (dropped from lookup)
+    df = spark.createDataFrame([(line,)], ["value"])
+    assert pipeline.process_type(df, rt, lookup, how="inner").count() == 0
+    left = pipeline.process_type(df, rt, lookup, how="left").collect()
+    assert len(left) == 1 and left[0].flag == ""
+
+
+def test_socket_source_roundtrip(spark, lookup):
+    """S2 — real TCP socket into the routed pipeline (memory sink)."""
+    lines = [make_line("61", i) for i in range(8)]
+    srv = pysocket.socket(pysocket.AF_INET, pysocket.SOCK_STREAM)
+    srv.setsockopt(pysocket.SOL_SOCKET, pysocket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = sources.socket(spark, "127.0.0.1", port)
+    transformed = pipeline.routed_pipeline(stream, lookup, how="left")
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName("t_socket")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        want = len(lines)
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM t_socket").collect()[0].n
+            if n >= want:
+                break
+            time.sleep(1)
+        assert n == want
+    finally:
+        q.stop()
+        srv.close()

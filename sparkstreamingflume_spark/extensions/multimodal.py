@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
+Python hot path (vectorized batches, not per-row pickling).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+``decode_image_real`` raises ``NotImplementedError`` by design; the
+deterministic fake (``decode_image_fake``) derives plausible metadata
+from the payload digest so the Spark-side plumbing — schema, batch
+iteration, partition behavior — is real and tested end to end.
+
+Scale posture: mapInPandas streams Arrow batches; memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, payload columns are
+pruned when untouched, and there is no shuffle — decode is embarrassingly
+parallel over input partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder hook — requires PIL/libvips, absent in this container."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "swap in PIL.Image.open at deployment"
+    )
+
+
+def decode_image_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake: metadata derived from the payload digest, so
+    tests are stable and the plumbing is exercised with real byte flow."""
+    h = hashlib.sha1(payload).digest()
+    width = 64 + (int.from_bytes(h[0:4], "big") % 1216)
+    height = 64 + (int.from_bytes(h[4:8], "big") % 656)
+    n_frames = 1 + (h[8] % 32)
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas decode: (media_id, payload, media_type) -> metadata rows.
+
+    Arrow-batched; one Python worker pass per partition, payload column
+    dropped from the output (decode-and-discard keeps the shuffle-free
+    output narrow).
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len),
+                "sha1": pdf["payload"].map(
+                    lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                ),
+            }
+            dims = pdf["payload"].map(
+                decode_image_real if use_real_codec else decode_image_fake
+            )
+            out["width"] = dims.map(lambda d: d[0])
+            out["height"] = dims.map(lambda d: d[1])
+            out["n_frames"] = dims.map(lambda d: d[2])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: explode a video payload into frame rows
+    (fake: one row per sampled frame index, real: ffmpeg seek+decode).
+    Output is (media_id, frame_no) — the downstream embedding/dedup input.
+    """
+    from pyspark.sql import functions as F
+
+    decoded = decode_media(df)
+    return decoded.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_no"),
+    )

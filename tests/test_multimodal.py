@@ -1,0 +1,55 @@
+"""Multimodal plumbing tests: schema, Arrow batch flow, deterministic fake."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sparkstreamingflume_spark.extensions import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (i, f"payload-{i}".encode() * (i + 1), "image" if i % 2 else "video")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_decode_schema_and_values(media_df):
+    out = MM.decode_media(media_df)
+    assert out.schema == MM.DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 10
+    for i in range(10):
+        payload = f"payload-{i}".encode() * (i + 1)
+        r = rows[i]
+        assert r.n_bytes == len(payload)
+        assert r.sha1 == hashlib.sha1(payload).hexdigest()
+        w, h, f = MM.decode_image_fake(payload)
+        assert (r.width, r.height, r.n_frames) == (w, h, f)
+        assert 64 <= r.width < 1280 and 64 <= r.height < 720
+
+
+def test_decode_is_deterministic(media_df):
+    a = sorted(map(tuple, MM.decode_media(media_df).collect()))
+    b = sorted(map(tuple, MM.decode_media(media_df).collect()))
+    assert a == b
+
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_real(b"\x89PNG")
+
+
+def test_frame_sample_explodes(media_df):
+    frames = MM.frame_sample(media_df, every_nth=4).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_no)
+    rows = {r.media_id: r for r in MM.decode_media(media_df).collect()}
+    for mid, fnos in by_id.items():
+        expect = list(range(0, rows[mid].n_frames, 4))
+        assert sorted(fnos) == expect

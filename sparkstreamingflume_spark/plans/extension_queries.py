@@ -132,6 +132,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
     )
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Result-preserving prune: a shingle present in exactly one doc can
+    # never form a pair — drop it before the self-join. At 100 TB this
+    # removes the long tail (most shingles are unique), shrinking the
+    # join input by ~an order of magnitude; n_sh above is computed BEFORE
+    # the prune so Jaccard denominators are unchanged.
+    shared = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") > 1
+    )
+    sh = sh.join(shared.select("shingle"), "shingle")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

@@ -310,3 +310,54 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price_cents").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no,
+               ts
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Sessionization (batch): 30-min-gap session boundaries via lag + "
+    "running sum, rolled up per session. The per-user window shuffle is "
+    "the only exchange; at scale it partitions on user_id (hashed, "
+    "AQE-skew-splittable). Streaming twin: streaming/stateful.py "
+    "(applyInPandasWithState with idle-gap timeouts).",
+    tags=("relational", "window", "session"),
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_start = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_start).over(cum).cast("long").alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )

@@ -652,3 +652,160 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("payload_md5"),
         (F.lit(64) + h32(payload) % 1216).cast("long").alias("fake_width"),
     )
+
+
+@query(
+    "q_embed_ivf_search",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT b.vec_id, a.vec_id AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, a.vec_id) AS rn
+            FROM e a JOIN e b ON a.vec_id < {N_CENTROIDS}
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT e.vec_id, e.emb, e.norm, assign.centroid_id
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+        WHERE e.vec_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT e.vec_id, e.emb, e.norm, assign.centroid_id
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+    )
+    SELECT q_id, vec_id, cos_ppm, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, b.vec_id) AS rn
+        FROM probes a JOIN cands b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    ) t WHERE rn <= {TOPK}
+    """,
+    doc="IVF probe search (the full ANN scale path): q_embed_ivf's "
+    "assignment partitions the corpus into K cells; each probe scores "
+    "ONLY its own cell (join on centroid_id) — candidate set is "
+    "|corpus|/K instead of |corpus|, trading exactness (recall vs "
+    "q_embed_topk is measurable) for a K-fold scan cut. At 100 TB the "
+    "corpus is bucketed/partitioned by centroid_id so a probe touches "
+    "one partition.",
+    tags=("similarity",),
+)
+def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
+    full = e.join(assign, "vec_id")
+    probes = full.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    cands = full.alias("b")
+    scored = (
+        probes.join(
+            cands,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("q_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            _cos_ppm().cast("long").alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_ppm").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+    )
+
+
+@query(
+    "q_dedup_candidates_verified",
+    f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest({_SH}) AS s FROM documents
+        WHERE len({_TOK}) >= 3
+    ),
+    hashed AS (SELECT doc_id, {h32_sql('s')} AS h FROM sh0),
+    sigs AS (SELECT doc_id, {_SIG_SQL_COLS} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b,
+               CASE b
+                    WHEN 0 THEN md5(s0::VARCHAR || ',' || s1::VARCHAR || ',' || s2::VARCHAR || ',' || s3::VARCHAR)
+                    WHEN 1 THEN md5(s4::VARCHAR || ',' || s5::VARCHAR || ',' || s6::VARCHAR || ',' || s7::VARCHAR)
+                    WHEN 2 THEN md5(s8::VARCHAR || ',' || s9::VARCHAR || ',' || s10::VARCHAR || ',' || s11::VARCHAR)
+                    ELSE md5(s12::VARCHAR || ',' || s13::VARCHAR || ',' || s14::VARCHAR || ',' || s15::VARCHAR)
+               END AS band_hash
+        FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    shd AS (
+        SELECT doc_id, unnest(list_distinct({_SH})) AS shingle FROM documents
+    ),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(floor(n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common))
+                AS BIGINT) AS jaccard_ppm
+    FROM cand c
+    JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+    JOIN card ca ON ca.doc_id = c.doc_a
+    JOIN card cb ON cb.doc_id = c.doc_b
+    WHERE n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common)
+          >= {JACCARD_MIN_PPM}
+    """,
+    doc="The production dedup composition: LSH band candidates (cheap, "
+    "bucket-join) verified with exact Jaccard (computed only on the "
+    "candidate pairs — the expensive inverted-index join is gated by the "
+    "candidate set instead of running corpus-wide). This is the shape "
+    "that holds at 100 TB: stage-1 cost ~ |buckets|, stage-2 cost ~ "
+    "|candidates|.",
+    tags=("dedup",),
+)
+def q_dedup_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = q_dedup_minhash(spark, sf_dir)
+    verified = q_dedup_ngram_jaccard(spark, sf_dir)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard_ppm"
+    )
+
+
+@query(
+    "q_text_topterms",
+    f"""
+    SELECT lang, tok, n, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT lang, tok, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, tok) AS rn
+        FROM (SELECT lang, unnest({_TOK}) AS tok FROM documents)
+        GROUP BY lang, tok
+    ) t WHERE rn <= 5
+    """,
+    doc="Top-5 terms per language: explode -> two-level aggregate -> "
+    "windowed top-N. The term count is map-side combinable; the window "
+    "partitions on lang (tiny), so the heavy shuffle is bounded by "
+    "|vocab| x |langs|.",
+    tags=("text",),
+)
+def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -55,3 +55,32 @@ def test_bench_queries_marked():
     from sparkstreamingflume_spark.plans import REGISTRY
 
     assert sum(1 for q in REGISTRY.values() if q.bench) >= 5
+
+
+def test_scan_pruning_and_pushdown(spark):
+    """Scale guardrails: Q1's scan must read only needed columns and push
+    the shipdate filter; top-k must be TakeOrderedAndProject (no full
+    sort); no Python eval nodes in any certified plan."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    plan = (
+        REGISTRY["q_tpch_q1"].build(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = next(ln for ln in plan.split("\n") if "FileScan" in ln)
+    assert "l_shipdate" in scan and "l_orderkey" not in scan  # pruned
+    assert "DataFilters" in scan  # pushed
+
+    topk = (
+        REGISTRY["q_topk"].build(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in topk
+
+    for name in ("q_md5_mask", "q_dedup_minhash", "q_embed_topk"):
+        p = (
+            REGISTRY[name].build(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in p, f"{name} has a Python row path"

@@ -578,3 +578,29 @@ def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rn"),
         "line",
     )
+
+
+@query(
+    "q_count_by_type_salted",
+    f"""
+    WITH {LINES_CTE}
+    SELECT rec_type, count(*) AS n, max(l_orderkey) AS max_key
+    FROM lines GROUP BY rec_type
+    """,
+    doc="A3 under skew: the same per-prefix counters computed via salted "
+    "two-phase aggregation (salt -> partial agg -> de-salt final). The "
+    "hot prefix's rows spread over 16 reducers in phase 1 instead of "
+    "funneling one; the oracle is the PLAIN groupBy — results must be "
+    "identical. This is the aggregation-side answer to the skew the "
+    "reference's per-type traffic actually had.",
+    tags=("agg", "A3", "skew"),
+)
+def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.functions.skew import salted_agg
+
+    df = _cdr_lines(spark, sf_dir)
+    return salted_agg(
+        df,
+        keys=["rec_type"],
+        aggs={"n": ("l_orderkey", "count"), "max_key": ("l_orderkey", "max")},
+    )

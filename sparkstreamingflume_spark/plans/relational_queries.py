@@ -361,3 +361,64 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT strftime(ts, '%Y%m%d') AS dt,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+                    THEN 1 ELSE 0 END) AS other
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot: per-day event-type matrix. Spark's pivot() compiles to the "
+    "same conditional-aggregate shape the SQL spells out — one combinable "
+    "shuffle keyed on dt, column count fixed by the pivot value list "
+    "(always enumerate values at scale; inference double-scans).",
+    tags=("relational", "agg"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    bucket = F.when(F.col("event_type").isin(known), F.col("event_type")).otherwise(
+        "other"
+    )
+    return (
+        ev.select(F.date_format("ts", "yyyyMMdd").alias("dt"), bucket.alias("et"))
+        .groupBy("dt")
+        .pivot("et", known + ["other"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .fillna(0, subset=known + ["other"])
+        .select(
+            "dt",
+            F.col("click").cast("long").alias("click"),
+            F.col("view").cast("long").alias("view"),
+            F.col("purchase").cast("long").alias("purchase"),
+            F.col("other").cast("long").alias("other"),
+        )
+    )
+
+
+@query(
+    "q_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct-count rollup (two-phase: partial distinct on the "
+    "map side, exact merge). At 100 TB swap in approx_count_distinct "
+    "(HLL++, fixed-size sketches, one pass) when +-2% is acceptable — "
+    "same query shape, 10-100x less shuffle.",
+    tags=("relational", "agg"),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

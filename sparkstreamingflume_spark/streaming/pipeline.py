@@ -118,3 +118,22 @@ def archive_frame(df: DataFrame) -> DataFrame:
         F.date_format(F.current_timestamp(), "yyyyMMdd").alias("dt"),
         F.hour(F.current_timestamp()).alias("hr"),
     )
+
+
+def flume_pipeline(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """The Flume entry-point graph (src/StreamingFlumeProcess.scala:117-155):
+    (filename, body) pairs from event headers, GPRS phone fields 0,1,2,7
+    MD5-masked (:146-149), day-bucketed for the per-filename text sink
+    (saveAsTextFile per filename/day, replaced by partitionBy(filename, dt)).
+
+    Input must have (filename, value) columns — the file-drop JSON landing
+    schema; the masked frame is sink-ready for write_partitioned_text with
+    partition_cols=('filename', 'dt') (K7: one dir per key)."""
+    from sparkstreamingflume_spark.schemas import GPRS
+
+    masked = df.withColumn(
+        value_col, L.mask_fields(F.col(value_col), GPRS.phone_idx, sep=GPRS.sep)
+    )
+    return masked.withColumn(
+        "dt", F.date_format(F.current_timestamp(), "yyyyMMdd")
+    )

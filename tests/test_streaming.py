@@ -190,3 +190,42 @@ def test_socket_source_roundtrip(spark, lookup):
     finally:
         q.stop()
         srv.close()
+
+
+def test_flume_pipeline_masks_and_partitions(spark, tmp_path):
+    """Entry point #1 (Flume): keyed (filename, value) GPRS records ->
+    mask fields 0,1,2,7 -> per-filename dirs (K7 + A2 grouping)."""
+    import hashlib
+    import json
+
+    from sparkstreamingflume_spark.streaming import sinks as SK
+
+    gprs = "|".join(f"g{j}" for j in range(44))
+    rows = [{"filename": f"f{i % 2}", "value": gprs} for i in range(6)]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    stream = spark.readStream.schema("filename STRING, value STRING").json(
+        str(landing)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch, bid):
+        SK.write_partitioned_text(batch, out, partition_cols=("filename", "dt"))
+
+    q = SK.start_pipeline(
+        pipeline.flume_pipeline(stream), sink, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    from pathlib import Path as P
+
+    dirs = sorted(p.name for p in P(out).iterdir() if p.is_dir())
+    assert dirs == ["filename=f0", "filename=f1"]
+    got = spark.read.text(out).collect()
+    assert len(got) == 6
+    fields = got[0].value.split("|")
+    for i in (0, 1, 2, 7):
+        assert fields[i] == hashlib.md5(f"g{i}".encode()).hexdigest()
+    assert fields[3] == "g3"  # unmasked fields intact

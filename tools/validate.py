@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate.
 
-Runs every registered query at sf0.01 on Spark AND its DuckDB oracle,
-compares row count + (sorted) schema + order-insensitive value hash.
+Runs every registered query at sf0.01 (override: SPARK_GRAFT_VALIDATE_SF)
+on Spark AND its DuckDB oracle, compares row count + (sorted) schema +
+order-insensitive value hash.
 Usage: python tools/validate.py [query ...]
 """
 
@@ -44,7 +45,9 @@ def main() -> None:
     from sparkstreamingflume_spark.plans import REGISTRY
     from sparkstreamingflume_spark.session import get_session
 
-    sf_dir = "/root/testdata/sf0.01"
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_VALIDATE_SF", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
     spark = get_session("validate")
 

@@ -809,3 +809,105 @@ def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# The minhash candidate-pair CTE chain, reused by the cluster queries.
+_CAND_CTES = f"""
+    sh0 AS (
+        SELECT doc_id, unnest({_SH}) AS s FROM documents
+        WHERE len({_TOK}) >= 3
+    ),
+    hashed AS (SELECT doc_id, {h32_sql('s')} AS h FROM sh0),
+    sigs AS (SELECT doc_id, {_SIG_SQL_COLS} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b,
+               CASE b
+                    WHEN 0 THEN md5(s0::VARCHAR || ',' || s1::VARCHAR || ',' || s2::VARCHAR || ',' || s3::VARCHAR)
+                    WHEN 1 THEN md5(s4::VARCHAR || ',' || s5::VARCHAR || ',' || s6::VARCHAR || ',' || s7::VARCHAR)
+                    WHEN 2 THEN md5(s8::VARCHAR || ',' || s9::VARCHAR || ',' || s10::VARCHAR || ',' || s11::VARCHAR)
+                    ELSE md5(s12::VARCHAR || ',' || s13::VARCHAR || ',' || s14::VARCHAR || ',' || s15::VARCHAR)
+               END AS band_hash
+        FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    )"""
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CAND_CTES}
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+    doc="Dedup clustering: near-dup candidate pairs (MinHash LSH) as an "
+    "undirected graph, connected components via iterative label "
+    "propagation (extensions/graph.py — O(log n) join+min-agg rounds, "
+    "the GraphX shape; oracle uses a recursive CTE). The component IS "
+    "the dedup unit at scale: transitive near-dups collapse together "
+    "even when pairwise LSH missed an edge.",
+    tags=("dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.extensions.graph import connected_components
+
+    pairs = q_dedup_minhash(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_CAND_CTES}
+    SELECT cluster_id, doc_id AS keeper_doc_id, n_chars AS keeper_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ) t WHERE rn = 1
+    """,
+    doc="Quality-aware dedup: within each near-dup cluster keep the "
+    "highest-quality doc (longest text, id tie-break) — the policy step "
+    "every training-data dedup pipeline ends with. Cluster assignment "
+    "from q_dedup_clusters; keeper selection is one windowed top-1 over "
+    "|clustered docs| rows.",
+    tags=("dedup", "iterative"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    joined = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("cluster_size", F.count("*").over(size_w).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").alias("keeper_chars"),
+            "cluster_size",
+        )
+    )

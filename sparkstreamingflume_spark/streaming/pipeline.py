@@ -128,9 +128,74 @@ def process_type(
 
 
 def routed_pipeline(df: DataFrame, lookup: DataFrame, how: str = "inner") -> DataFrame:
-    """The whole 6-type graph on one routed stream: union of per-type
-    pipelines (one scan feeds all types; Catalyst pushes each type's
-    conform filter to its branch)."""
+    """The whole 6-type graph in ONE pass over the stream.
+
+    The schema registry becomes literal map columns (rec_type →
+    n_fields / phone-index set / lac / ci / start / tag), so routing,
+    conforming, masking, and key extraction are a single projection —
+    one scan, one broadcast join, no per-type branch-and-union (the
+    reference re-filtered its cached stream once per type,
+    src/StreamingSocketProcess.scala:138-159; a naive port unions 6
+    filtered branches = 6 passes per micro-batch).
+    ``routed_pipeline_unioned`` keeps the branch-per-type shape as the
+    equivalence reference.
+    """
+    types = sorted(RECORD_TYPES.items())
+    m_nf = F.create_map(*[x for p, rt in types for x in (F.lit(p), F.lit(rt.n_fields))])
+    m_mask = F.create_map(
+        *[
+            x
+            for p, rt in types
+            for x in (F.lit(p), F.array(*[F.lit(i) for i in rt.phone_idx]))
+        ]
+    )
+    m_lac = F.create_map(*[x for p, rt in types for x in (F.lit(p), F.lit(rt.lac_idx))])
+    m_ci = F.create_map(*[x for p, rt in types for x in (F.lit(p), F.lit(rt.ci_idx))])
+    m_st = F.create_map(
+        *[x for p, rt in types for x in (F.lit(p), F.lit(rt.start_time_idx))]
+    )
+    m_tag = F.create_map(*[x for p, rt in types for x in (F.lit(p), F.lit(rt.tag))])
+
+    sep = types[0][1].sep  # all six socket types are comma-delimited
+    routed = route(df).filter(F.col("rec_type").isin(*[p for p, _ in types]))
+    rt_col = F.col("rec_type")
+    arr = F.split(F.regexp_replace(F.col("value"), f"{sep}+$", ""), sep)
+    with_arr = routed.withColumn("_arr", arr).filter(
+        F.size("_arr") == F.element_at(m_nf, rt_col)
+    )
+    mask_set = F.element_at(m_mask, rt_col)
+    masked = with_arr.withColumn(
+        "_arr",
+        F.transform(
+            "_arr",
+            lambda x, i: F.when(F.array_contains(mask_set, i), F.md5(x)).otherwise(x),
+        ),
+    )
+    key = F.concat_ws(
+        ",",
+        F.element_at(F.col("_arr"), F.element_at(m_lac, rt_col) + 1),
+        F.element_at(F.col("_arr"), F.element_at(m_ci, rt_col) + 1),
+    )
+    joined = masked.withColumn("lookup_key", key).join(
+        F.broadcast(lookup), F.col("lookup_key") == F.col("map_key"), how
+    )
+    flag = F.col("map_value") if how == "inner" else F.coalesce("map_value", F.lit(""))
+    return joined.select(
+        F.array_join("_arr", sep).alias("value"),
+        F.element_at(F.col("_arr"), F.element_at(m_st, rt_col) + 1).alias(
+            "start_time"
+        ),
+        flag.alias("flag"),
+        F.element_at(m_tag, rt_col).alias("tag"),
+    )
+
+
+def routed_pipeline_unioned(
+    df: DataFrame, lookup: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Branch-per-type reference implementation (6 filtered branches +
+    union — the naive port of the reference's per-type fan-out). Kept as
+    the equivalence oracle for routed_pipeline."""
     routed = route(df)
     parts = [
         process_type(routed.filter(F.col("rec_type") == p), rt, lookup, how=how)

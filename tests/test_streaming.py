@@ -229,3 +229,19 @@ def test_flume_pipeline_masks_and_partitions(spark, tmp_path):
     for i in (0, 1, 2, 7):
         assert fields[i] == hashlib.md5(f"g{i}".encode()).hexdigest()
     assert fields[3] == "g3"  # unmasked fields intact
+
+
+def test_onepass_router_equals_unioned(spark, lookup):
+    """The one-pass metadata-driven router must produce exactly the
+    branch-per-type union's multiset, for both join modes."""
+    lines = corpus()
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    for how in ("inner", "left"):
+        one = Counter(
+            tuple(r) for r in pipeline.routed_pipeline(df, lookup, how=how).collect()
+        )
+        ref = Counter(
+            tuple(r)
+            for r in pipeline.routed_pipeline_unioned(df, lookup, how=how).collect()
+        )
+        assert one == ref, f"one-pass != unioned for how={how}"

@@ -604,3 +604,44 @@ def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["rec_type"],
         aggs={"n": ("l_orderkey", "count"), "max_key": ("l_orderkey", "max")},
     )
+
+
+_GPRS_MASK_SQL = (
+    "array_to_string(list_transform(" + _ARR + ", (x, i) -> "
+    "CASE WHEN i - 1 IN (0, 1, 2, 7) THEN md5(x) ELSE x END), '|')"
+)
+_GPRS_MASKED_ARR = r"string_split(regexp_replace(" + _GPRS_MASK_SQL + r", '\|+$', ''), '|')"
+_GPRS_PROJ_SQL = ", ".join(f"{_GPRS_MASKED_ARR}[{i + 1}]" for i in GPRS_PROJECTION)
+
+
+@query(
+    "q_gprs_pipeline",
+    f"""
+    WITH {LINES_CTE}
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('|', {_GPRS_PROJ_SQL}) AS out_line
+    FROM lines
+    WHERE len({_ARR}) = 44
+    """,
+    doc="The reference's full GPRS record pipeline as ONE certified "
+    "expression chain: dirty-filter (44 fields, src/ProcessSums.scala:435) "
+    "-> mask phone fields 0,1,2,7 (src/StreamingFlumeProcess.scala:146-149) "
+    "-> 44->10 projection (processData, src/DesenPross.scala:167-176). "
+    "What the reference did in three map passes with re-splits is one "
+    "codegen'd projection here.",
+    tags=("transform", "P4", "P8", "P9"),
+    bench=True,
+)
+def q_gprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.schemas import GPRS
+
+    df = _cdr_lines(spark, sf_dir)
+    masked = L.mask_fields("line", GPRS.phone_idx)
+    return (
+        df.filter(L.dirty_filter("line", GPRS.n_fields))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            L.project_fields(masked, GPRS_PROJECTION, n_fields=44).alias("out_line"),
+        )
+    )

@@ -911,3 +911,31 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@query(
+    "q_text_normalize",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+    doc="Text normalization (the step before any dedup/fingerprint pass): "
+    "lowercase, non-alnum -> space, whitespace collapse, trim; plus the "
+    "normalized content hash so exact dedup runs on canonical text. Pure "
+    "codegen'd regexp work, no shuffle.",
+    tags=("text",),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )

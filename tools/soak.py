@@ -6,7 +6,9 @@ processing where p99 batch duration stays under the trigger interval
 (the reference's stability criterion — a 20 s batch must clear before
 the next arrives, src/StreamingSocketProcess64.scala:83).
 
-Usage: python tools/soak.py [rows_per_second] [seconds]
+Usage: python tools/soak.py [rows_per_second] [seconds] [mode]
+mode = type61 (single-type pipeline, default) | routed (mixed 61-66
+lines through the one-pass metadata-driven router).
 Prints one JSON line with batch-duration percentiles and sustained rate.
 """
 
@@ -22,6 +24,7 @@ sys.path.insert(0, ".")
 def main() -> None:
     rows_per_sec = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    mode = sys.argv[3] if len(sys.argv) > 3 else "type61"
 
     from pyspark.sql import functions as F
 
@@ -31,24 +34,60 @@ def main() -> None:
 
     spark = get_session("soak")
 
-    # synthesize a type-61-heavy line mix from the rate source (the skew
-    # the reference actually saw: one prefix dominating)
-    rt = RECORD_TYPES["61"]
-    filler = ",".join(f"f{j}" for j in range(2, rt.n_fields))
     rate = sources.rate(spark, rows_per_second=rows_per_sec)
-    lines = rate.select(
-        F.concat_ws(
+
+    def make_line(prefix: str) -> F.Column:
+        rt = RECORD_TYPES[prefix]
+        filler = ",".join(f"f{j}" for j in range(2, rt.n_fields))
+        return F.concat_ws(
             ",",
-            F.concat(F.lit("61rec"), F.col("value")),
+            F.concat(F.lit(prefix + "rec"), F.col("value")),
             F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss"),
             F.lit(filler),
-        ).alias("value")
-    )
-    # fix lac/ci fields so the broadcast probe has hits and misses
+        )
+
     lookup = spark.createDataFrame(
-        [(f"f{rt.lac_idx + 1},f{rt.ci_idx + 1}", "label")], ["map_key", "map_value"]
-    )
-    transformed = pipeline.process_type(lines, rt, lookup, how="left")
+        [
+            (f"f{rt.lac_idx + 1},f{rt.ci_idx + 1}", "label")
+            for rt in RECORD_TYPES.values()
+        ],
+        ["map_key", "map_value"],
+    ).dropDuplicates(["map_key"])
+
+    if mode == "routed":
+        # round-robin over all six record types through the one-pass
+        # router; pick prefix+filler via element_at FIRST so only one
+        # line is materialized per row (array(make_line x6) would build
+        # all six ~500-char strings per row — generator-bound soak)
+        prefixes = sorted(RECORD_TYPES)
+        idx = (F.col("value") % len(prefixes) + 1).cast("int")
+        pfx = F.element_at(F.array(*[F.lit(p) for p in prefixes]), idx)
+        filler = F.element_at(
+            F.array(
+                *[
+                    F.lit(
+                        ",".join(
+                            f"f{j}" for j in range(2, RECORD_TYPES[p].n_fields)
+                        )
+                    )
+                    for p in prefixes
+                ]
+            ),
+            idx,
+        )
+        line = F.concat_ws(
+            ",",
+            F.concat(pfx, F.lit("rec"), F.col("value")),
+            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss"),
+            filler,
+        )
+        lines = rate.select(line.alias("value"))
+        transformed = pipeline.routed_pipeline(lines, lookup, how="left")
+    else:
+        lines = rate.select(make_line("61").alias("value"))
+        transformed = pipeline.process_type(
+            lines, RECORD_TYPES["61"], lookup, how="left"
+        )
 
     q = (
         transformed.writeStream.format("noop")

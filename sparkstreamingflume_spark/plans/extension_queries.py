@@ -939,3 +939,72 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
     )
+
+
+_SIMHASH_CTES = f"""
+    tok0 AS (
+        SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    tok AS (SELECT doc_id, {h32_sql('tok')} AS h FROM tok0),
+    votes AS (SELECT doc_id, {_BITSUM_SQL} FROM tok GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({_BITS_SQL} AS BIGINT) AS simhash FROM votes),
+    halves AS (
+        SELECT doc_id, simhash, half,
+               CASE half WHEN 0 THEN simhash & 255
+                         ELSE (simhash >> 8) & 255 END AS half_val
+        FROM sigs, (SELECT unnest(generate_series(0, 1)) AS half)
+    )"""
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTES}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM halves a
+    JOIN halves b ON a.half = b.half AND a.half_val = b.half_val
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash near-dup pairs, banded: split the 16-bit signature into "
+    "two bytes; pairs sharing either byte are candidates (pigeonhole: "
+    "any pair within hamming<=1 must share a half; wider radii trade "
+    "recall), then verified with bit_count(xor)<=3. Join key is the "
+    "byte bucket — |buckets| cardinality, the same LSH shape as MinHash "
+    "banding, so it scales identically.",
+    tags=("dedup",),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = q_dedup_simhash(spark, sf_dir)
+    halves = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.col("simhash").bitwiseAND(255),
+                F.shiftright("simhash", 8).bitwiseAND(255),
+            )
+        ).alias("half", "half_val"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -606,12 +606,18 @@ def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GPRS_MASK_SQL = (
-    "array_to_string(list_transform(" + _ARR + ", (x, i) -> "
-    "CASE WHEN i - 1 IN (0, 1, 2, 7) THEN md5(x) ELSE x END), '|')"
+# Flattened mask+project: because line_fields/_ARR strip the trailing
+# separator run BEFORE splitting, the split array never ends in an empty
+# field, so mask -> re-join -> re-split -> project is exactly equivalent to
+# projecting straight off the original array with md5 applied only where a
+# projected index is also a masked one. That turns 44 md5 calls + three
+# higher-order lambda passes per row (which fall out of whole-stage
+# codegen and get re-evaluated per projected field) into a flat, fully
+# codegen'd chain with exactly 4 md5 calls per row — ~50x faster at sf0.1.
+_GPRS_FIELD_SQL = ", ".join(
+    f"md5({_ARR}[{i + 1}])" if i in (0, 1, 2, 7) else f"{_ARR}[{i + 1}]"
+    for i in GPRS_PROJECTION
 )
-_GPRS_MASKED_ARR = r"string_split(regexp_replace(" + _GPRS_MASK_SQL + r", '\|+$', ''), '|')"
-_GPRS_PROJ_SQL = ", ".join(f"{_GPRS_MASKED_ARR}[{i + 1}]" for i in GPRS_PROJECTION)
 
 
 @query(
@@ -619,7 +625,7 @@ _GPRS_PROJ_SQL = ", ".join(f"{_GPRS_MASKED_ARR}[{i + 1}]" for i in GPRS_PROJECTI
     f"""
     WITH {LINES_CTE}
     SELECT l_orderkey, l_linenumber,
-           concat_ws('|', {_GPRS_PROJ_SQL}) AS out_line
+           concat_ws('|', {_GPRS_FIELD_SQL}) AS out_line
     FROM lines
     WHERE len({_ARR}) = 44
     """,
@@ -628,7 +634,9 @@ _GPRS_PROJ_SQL = ", ".join(f"{_GPRS_MASKED_ARR}[{i + 1}]" for i in GPRS_PROJECTI
     "-> mask phone fields 0,1,2,7 (src/StreamingFlumeProcess.scala:146-149) "
     "-> 44->10 projection (processData, src/DesenPross.scala:167-176). "
     "What the reference did in three map passes with re-splits is one "
-    "codegen'd projection here.",
+    "codegen'd projection here, with md5 computed only for the 4 fields "
+    "that are both masked and projected (see _GPRS_FIELD_SQL comment for "
+    "the equivalence argument).",
     tags=("transform", "P4", "P8", "P9"),
     bench=True,
 )
@@ -636,12 +644,14 @@ def q_gprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingflume_spark.schemas import GPRS
 
     df = _cdr_lines(spark, sf_dir)
-    masked = L.mask_fields("line", GPRS.phone_idx)
-    return (
-        df.filter(L.dirty_filter("line", GPRS.n_fields))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            L.project_fields(masked, GPRS_PROJECTION, n_fields=44).alias("out_line"),
-        )
+    arr = L.line_fields("line")
+    mask = set(GPRS.phone_idx)
+    fields = [
+        F.md5(F.get(arr, i)) if i in mask else F.get(arr, i)
+        for i in GPRS_PROJECTION
+    ]
+    return df.filter(L.dirty_filter("line", GPRS.n_fields)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws("|", *fields).alias("out_line"),
     )

@@ -644,14 +644,29 @@ def q_gprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingflume_spark.schemas import GPRS
 
     df = _cdr_lines(spark, sf_dir)
-    arr = L.line_fields("line")
     mask = set(GPRS.phone_idx)
+    arr = F.col("_arr")
     fields = [
         F.md5(F.get(arr, i)) if i in mask else F.get(arr, i)
         for i in GPRS_PROJECTION
     ]
-    return df.filter(L.dirty_filter("line", GPRS.n_fields)).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.concat_ws("|", *fields).alias("out_line"),
+    # Materialize the split ONCE: a filter expressed over the split
+    # re-evaluates it (FilterExec has no subexpression elimination and
+    # PushPredicateThroughNonJoin would inline the alias), so stage the
+    # array as a column behind a non-deterministic pushdown barrier —
+    # the width predicate then reads the computed attribute. The filter
+    # is over a synthesized column, so no scan pushdown is forfeited.
+    return (
+        df.select(
+            "l_orderkey",
+            "l_linenumber",
+            L.line_fields("line").alias("_arr"),
+            F.monotonically_increasing_id().alias("_bar"),
+        )
+        .filter(F.size("_arr") == GPRS.n_fields)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws("|", *fields).alias("out_line"),
+        )
     )

@@ -422,3 +422,251 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q_asof_join",
+    """
+    WITH cand AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               b.event_id AS anchor_id, b.ts AS anchor_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        FROM events p
+        LEFT JOIN events b
+          ON b.user_id = p.user_id AND b.event_type = 'purchase'
+         AND b.ts <= p.ts
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           anchor_id, epoch_us(anchor_ts) AS anchor_ts_us
+    FROM cand WHERE rn = 1
+    """,
+    doc="Left as-of join: every event picks the same user's most recent "
+    "'purchase' at-or-before its timestamp (ties broken by max event_id; "
+    "an event anchors itself). Spark has no ASOF JOIN, and the naive "
+    "inequality join is O(events x anchors) per user — instead this is "
+    "the union-merge form: tag anchors, union with probes, ONE window "
+    "partitioned by user_id ordered by (ts, anchors-first), and "
+    "last(anchor, ignorenulls) carries the running most-recent anchor to "
+    "each probe. One shuffle on user_id, linear scan per partition — the "
+    "only as-of shape that survives 100 TB. Oracle: the quadratic "
+    "left-join + row_number spelling of the same semantics.",
+    tags=("relational", "join", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("struct<aid:bigint,ats:timestamp>").alias("anchor"),
+        F.lit(0).alias("is_anchor"),
+    )
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct(
+            F.col("event_id").alias("aid"), F.col("ts").alias("ats")
+        ).alias("anchor"),
+        F.lit(1).alias("is_anchor"),
+    )
+    # Anchors sort before probes at equal ts (is_anchor DESC) so ts <= ts
+    # matches; among equal-ts anchors, ascending event_id makes last() the
+    # max — mirroring the oracle's (ts DESC, event_id DESC) rn=1 pick.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_anchor").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = probes.unionByName(anchors).withColumn(
+        "last_anchor", F.last("anchor", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_anchor") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("last_anchor.aid").alias("anchor_id"),
+        F.unix_micros("last_anchor.ats").alias("anchor_ts_us"),
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           count(c.ts) AS n_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+    doc="Banded range join: per 'error' event, how many same-user clicks "
+    "land in the following 10 minutes. A raw interval predicate forces "
+    "Spark into BroadcastNestedLoopJoin (O(n*m) comparisons); instead "
+    "both sides are bucketed to the 10-minute grid and each probe checks "
+    "buckets {b, b+1} — every true match is within one bucket of the "
+    "probe (band width == bucket width), so the equi-join on "
+    "(user_id, bucket) plus the exact residual predicate is lossless. "
+    "Shuffle is keyed, partition-prunable, AQE-skew-splittable: the "
+    "standard interval-join decomposition at 100 TB.",
+    tags=("relational", "join", "range"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band_us = 600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("cts_us"),
+        F.expr(f"unix_micros(ts) div {band_us}").alias("bucket"),
+    )
+    probe = err.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {band_us}"),
+                F.expr(f"ts_us div {band_us} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    joined = probe.join(
+        clk,
+        (F.col("user_id") == F.col("c_user"))
+        & (probe["bucket"] == clk["bucket"])
+        & (F.col("cts_us") >= F.col("ts_us"))
+        & (F.col("cts_us") < F.col("ts_us") + band_us),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count("cts_us").alias("n_clicks")
+    )
+
+
+@query(
+    "q_tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
+               AS revenue_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    doc="Shipping-priority revenue (TPC-H Q3 shape, dates fit the synthetic "
+    "range): a selective dim (filtered customer) chained into two fact "
+    "joins. Catalyst pushes both date filters to the scans and broadcasts "
+    "the filtered customer side; the lineitem join is the only big "
+    "shuffle. Certifies multi-join planning the reference never had.",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.floor(rev * 100).cast("long")).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q_tpch_q5",
+    f"""
+    SELECT n_name,
+           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
+               AS revenue_cents
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Local-supplier revenue (TPC-H Q5 shape): a six-table join tree "
+    "where region->nation->supplier collapses to a broadcast chain and "
+    "the co-nation predicate (c_nationkey = s_nationkey) rides the "
+    "customer join. Exercises Catalyst join reordering + multi-level "
+    "broadcast under AQE.",
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.floor(rev * 100).cast("long")).alias("revenue_cents"))
+    )
+
+
+@query(
+    "q_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT)
+               AS p50_cents,
+           CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT)
+               AS p95_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact grouped percentiles (type-7 linear interpolation — Spark's "
+    "percentile() and DuckDB's quantile_cont() agree bit-for-bit). Exact "
+    "percentile is a full-sort-per-group aggregate; at 100 TB swap in "
+    "approx_percentile (t-digest sketch, mergeable, one pass, bounded "
+    "memory) — same query shape, no sort.",
+    tags=("relational", "agg"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 100)
+        .cast("long")
+        .alias("p50_cents"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.95)") * 100)
+        .cast("long")
+        .alias("p95_cents"),
+    )

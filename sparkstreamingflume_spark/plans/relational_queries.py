@@ -670,3 +670,38 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_cents"),
     )
+
+
+@query(
+    "q_approx_count_distinct",
+    None,  # sketch output is engine-specific: certified rows-only + pytest
+    doc="HLL++ distinct users per event type — the 100 TB form of "
+    "q_count_distinct: fixed-size mergeable sketches, one pass, no "
+    "per-key exact dedup shuffle. No cross-engine oracle (sketch "
+    "estimates are engine-specific); tests/test_approx.py pins the "
+    "estimate within 5% of the exact count.",
+    tags=("relational", "agg", "approx"),
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_approx_percentile",
+    None,  # sketch output is engine-specific: certified rows-only + pytest
+    doc="approx_percentile (t-digest-style sketch) per return flag — the "
+    "100 TB form of q_percentile: mergeable, bounded memory, no "
+    "per-group sort. tests/test_approx.py pins it within 1% of exact.",
+    tags=("relational", "agg", "approx"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("p_approx"),
+    )

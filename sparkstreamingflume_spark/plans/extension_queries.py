@@ -1014,3 +1014,102 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+# Corpus-prep funnel thresholds (shared by both dialects).
+_PREP_MIN_TOK, _PREP_MAX_TOK = 20, 95
+_PREP_MIN_CPT, _PREP_MAX_CPT = 480, 600
+
+
+@query(
+    "q_corpus_prep",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents
+    ),
+    kept AS (
+        SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+               any_value(source) AS source
+        FROM corpus GROUP BY md5(text)
+    ),
+    feat AS (
+        SELECT doc_id, source,
+               len({_TOK}) AS n_tokens,
+               floor(100.0 * len(text) / len({_TOK})) AS cpt,
+               len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_EN)}))) AS s_en,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_ES)}))) AS s_es,
+               len(list_filter({_TOK}, t -> t IN ({_sql_in(_STOP_DE)}))) AS s_de
+        FROM kept
+    ),
+    gated AS (
+        SELECT source, bpe_tokens,
+               CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS pred_lang
+        FROM feat
+        WHERE n_tokens BETWEEN {_PREP_MIN_TOK} AND {_PREP_MAX_TOK}
+          AND cpt BETWEEN {_PREP_MIN_CPT} AND {_PREP_MAX_CPT}
+          AND greatest(s_en, s_es, s_de) > 0
+    )
+    SELECT pred_lang, source,
+           count(*) AS n_docs,
+           CAST(sum(bpe_tokens) AS BIGINT) AS token_budget
+    FROM gated GROUP BY pred_lang, source
+    """,
+    doc="The end-to-end training-data preparation funnel, certified as ONE "
+    "query: (1) exact dedup of a re-crawled corpus (hash-groupBy keeper, "
+    "the doubled corpus collapses back to one copy per text), (2) "
+    "C4-style quality gate on token count and chars-per-token, (3) "
+    "stopword-vote language ID with an any-language-evidence gate, (4) "
+    "per-(lang, source) doc counts and BPE-ish token budget — the "
+    "numbers a data-mixing stage consumes. Every stage is a Catalyst "
+    "expression or a combinable aggregate: one dedup shuffle + one "
+    "rollup shuffle, nothing doc-quadratic, so the funnel shape is "
+    "unchanged at 100 TB.",
+    tags=("text", "dedup", "pipeline"),
+    bench=True,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source")
+    )
+    kept = corpus.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("text").alias("text"),
+        F.any_value("source").alias("source"),
+    )
+    tok = tokens("text")
+    n_tok = F.size(tok)
+
+    def stop_score(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+    feat = kept.select(
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(100.0 * F.length("text") / n_tok).alias("cpt"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).alias("bpe_tokens"),
+        stop_score(_STOP_EN).alias("s_en"),
+        stop_score(_STOP_ES).alias("s_es"),
+        stop_score(_STOP_DE).alias("s_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    gated = feat.filter(
+        F.col("n_tokens").between(_PREP_MIN_TOK, _PREP_MAX_TOK)
+        & F.col("cpt").between(_PREP_MIN_CPT, _PREP_MAX_CPT)
+        & (F.greatest("s_en", "s_es", "s_de") > 0)
+    ).select("source", "bpe_tokens", pred.alias("pred_lang"))
+    return gated.groupBy("pred_lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("token_budget"),
+    )

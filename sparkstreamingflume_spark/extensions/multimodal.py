@@ -109,3 +109,91 @@ def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_no"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_fake(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Deterministic fake resize: recompute the fake dims, scale the long
+    side to ``max_side`` preserving aspect, and emit a digest-derived
+    payload of proportional size — so batch shapes and byte flow match a
+    real resampler's."""
+    w, h, _ = decode_image_fake(payload)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    body = hashlib.sha1(payload + max_side.to_bytes(4, "big")).digest()
+    out = (body * (1 + (nw * nh) // (3 * len(body))))[: max(1, (nw * nh) // 3)]
+    return nw, nh, out
+
+
+def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """mapInPandas resize: payload -> resampled payload + new dims.
+
+    Real deployment swaps ``resize_fake`` for PIL/libvips ``thumbnail``;
+    the Spark-side contract (Arrow batch in/out, binary column out,
+    no shuffle, partition-parallel) is identical and is what tests pin.
+    """
+
+    def do_resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            triples = pdf["payload"].map(lambda b: resize_fake(bytes(b), max_side))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": triples.map(lambda t: t[0]),
+                    "height": triples.map(lambda t: t[1]),
+                    "payload": triples.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction plumbing: payload -> fixed-dim float vector.
+
+    The fake embeds the payload digest into a deterministic unit-norm
+    16-dim vector (a real deployment runs a CLIP/ViT forward pass here —
+    same mapInPandas shape, bigger batches, GPU scheduling via
+    ``spark.task.resource.gpu.amount``). Output feeds the same
+    embedding-similarity operators as the text path
+    (q_embed_topk / q_embed_ivf / q_dedup_embed_cosine).
+    """
+
+    def embed(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for b in pdf["payload"]:
+                h = hashlib.sha256(bytes(b)).digest()
+                v = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(
+                    np.float32
+                )
+                v = v - v.mean()
+                norm = float(np.linalg.norm(v))
+                vecs.append((v / norm if norm else v).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return df.mapInPandas(embed, schema=FEATURES_SCHEMA)

@@ -48,3 +48,33 @@ def salted_agg(
         ]
     )
     return phase2
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the dim side across ``n_salts``
+    salt values and give every fact row a deterministic salt, so one hot
+    join key spreads over ``n_salts`` reducers instead of funneling one.
+
+    The classic alternative to AQE skew splitting when the skew is known
+    up front (the reference's type-61 hot prefix) or when AQE's
+    per-partition heuristics miss (one key inside one partition).
+    Replication factor is n_salts x |dim| rows — only viable for dim
+    sides far smaller than the fact (the same regime as a broadcast,
+    but without needing the dim to fit in executor memory once
+    replicated across the cluster). Result is row-identical to the
+    direct join (certified by q_enrich_join_salted against the plain
+    join oracle).
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    dim_rep = dim.withColumn("_salt", F.explode(salts))
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    joined = fact_s.join(dim_rep, on=[key, "_salt"], how=how)
+    return joined.drop("_salt")

@@ -606,6 +606,38 @@ def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_enrich_join_salted",
+    f"""
+    WITH {_DIM_SQL}
+    SELECT e.event_id,
+           md5(CAST(e.user_id AS VARCHAR)) AS masked_user,
+           d.n_name AS flag,
+           e.event_type
+    FROM events e JOIN dim d ON e.user_id = d.c_custkey
+    """,
+    doc="J1 under known skew: the same enrichment join computed via "
+    "explicit salting (dim replicated x16, fact salted "
+    "deterministically) — functions/skew.py salted_join. The oracle is "
+    "the PLAIN join: results must be row-identical. This is the "
+    "pre-planned alternative when AQE's runtime skew splitting can't "
+    "see the skew (a hot key hiding inside one partition) and the dim "
+    "is small enough to replicate but not to broadcast per-executor.",
+    tags=("join", "J1", "skew"),
+)
+def q_enrich_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.functions.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = _dim(spark, sf_dir).withColumnRenamed("c_custkey", "user_id")
+    return salted_join(ev, dim, "user_id").select(
+        "event_id",
+        F.md5(F.col("user_id").cast("string")).alias("masked_user"),
+        F.col("n_name").alias("flag"),
+        "event_type",
+    )
+
+
 # Flattened mask+project: because line_fields/_ARR strip the trailing
 # separator run BEFORE splitting, the split array never ends in an empty
 # field, so mask -> re-join -> re-split -> project is exactly equivalent to

@@ -53,3 +53,45 @@ def test_frame_sample_explodes(media_df):
     for mid, fnos in by_id.items():
         expect = list(range(0, rows[mid].n_frames, 4))
         assert sorted(fnos) == expect
+
+
+def test_resize_preserves_aspect_and_bounds(spark, media_df):
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        decode_media,
+        resize_media,
+    )
+
+    orig = {r["media_id"]: (r["width"], r["height"]) for r in decode_media(media_df).collect()}
+    rows = resize_media(media_df, max_side=256).collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        w, h = r["width"], r["height"]
+        ow, oh = orig[r["media_id"]]
+        assert max(w, h) <= 256
+        assert len(r["payload"]) > 0
+        # aspect preserved within integer-truncation slack
+        if ow >= oh:
+            assert w >= h
+        # deterministic: same input -> same output
+    again = resize_media(media_df, max_side=256).collect()
+    assert sorted((r["media_id"], bytes(r["payload"])) for r in again) == sorted(
+        (r["media_id"], bytes(r["payload"])) for r in rows
+    )
+
+
+def test_extract_features_unit_norm_deterministic(spark, media_df):
+    import math
+
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    rows = extract_features(media_df).collect()
+    assert len(rows) == media_df.count()
+    for r in rows:
+        v = r["embedding"]
+        assert len(v) == FEATURE_DIM
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    again = {r["media_id"]: r["embedding"] for r in extract_features(media_df).collect()}
+    assert all(again[r["media_id"]] == r["embedding"] for r in rows)

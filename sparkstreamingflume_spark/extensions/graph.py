@@ -64,3 +64,59 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank: (node, pr) after ``n_iter`` synchronous
+    updates of pr(n) = (1-d)/N + d * sum_{m->n} pr(m)/outdeg(m).
+
+    Dangling mass is dropped (leaky formulation) — deterministic and
+    cross-engine reproducible, which is what certification needs.
+    Each iteration is one shuffle join (edges x ranks on src, combinable
+    sum on dst) — the GraphX/Pregel shape; at 100 TB you pre-partition
+    edges by src so every iteration reuses the same exchange, and stop
+    on an L1-delta threshold instead of a fixed count.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # Edges pre-joined with out-degree once. Each iteration's ranks is
+    # persisted LAZILY: the planner substitutes the cached fragment, so
+    # the optimizer tree stays one-iteration deep instead of growing
+    # quadratically, and the single materializing action at the end
+    # computes every level exactly once (no eager count per iteration —
+    # that costs a blocking job each round for nothing).
+    ed = e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src").persist()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    intermediates = []
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (F.lit(base) + damping * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        ).persist()
+        intermediates.append(ranks)
+    ranks.count()  # materialize the chain once, caching every level
+    for df in intermediates[:-1]:
+        df.unpersist()
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks

@@ -1113,3 +1113,66 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("bpe_tokens").cast("long").alias("token_budget"),
     )
+
+
+_PR_N_ITER = 10
+_PR_EDGES = (
+    "SELECT DISTINCT user_id AS src, "
+    "CAST(json_extract_string(props, 'k') AS INT) % 150 AS dst "
+    "FROM events "
+    "WHERE user_id <> CAST(json_extract_string(props, 'k') AS INT) % 150"
+)
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (recursive CTEs
+    can't re-aggregate the recursive member, so the loop is expanded)."""
+    parts = [
+        f"edges AS ({_PR_EDGES})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"r{i + 1} AS (SELECT no.node, "
+            f"0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.c, 0) AS pr "
+            f"FROM nodes no LEFT JOIN ("
+            f"SELECT e.dst, sum(r.pr / d.outdeg) AS c FROM edges e "
+            f"JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst) s ON s.dst = no.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(floor(pr * 1000000) AS BIGINT) AS pr_ppm FROM r{n_iter}"
+    )
+
+
+@query(
+    "q_pagerank",
+    _pagerank_oracle(_PR_N_ITER),
+    doc="Iterative algorithm #2 (after connected components): 10 rounds "
+    "of synchronous leaky PageRank over the deterministic user-referral "
+    "graph (user -> props.k mod 150, self-loops dropped). Spark side is "
+    "extensions/graph.py pagerank — per iteration one shuffle join + "
+    "combinable sum, the Pregel shape; oracle is the loop unrolled into "
+    "chained CTEs. Certifies that DataFrame iteration converges to the "
+    "same fixpoint trajectory bit-for-bit (ppm-floored).",
+    tags=("graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.extensions.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int") % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), k.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, n_iter=_PR_N_ITER)
+    return pr.select(
+        "node", F.floor(F.col("pr") * 1_000_000).cast("long").alias("pr_ppm")
+    )

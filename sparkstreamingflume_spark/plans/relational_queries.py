@@ -705,3 +705,48 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
         ).alias("p_approx"),
     )
+
+
+@query(
+    "q_time_rollup",
+    """
+    SELECT coalesce(strftime(ts, '%Y-%m-%d'), '<all>') AS day,
+           coalesce(strftime(ts, '%H'), '<all>') AS hour,
+           CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+                + GROUPING(strftime(ts, '%H')) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), strftime(ts, '%H'))
+    """,
+    doc="Hypertable-style continuous-aggregate hierarchy: one ROLLUP pass "
+    "produces the hour grain, its day summaries, and the global total "
+    "(grouping_id marks the level) — what a time-series store "
+    "materializes as cascaded continuous aggregates. Spark computes all "
+    "levels in one shuffle with partial aggregation; at 100 TB the "
+    "hour-grain output is itself the incremental-refresh input for "
+    "coarser grains.",
+    tags=("relational", "agg", "window"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hour = F.date_format("ts", "HH")
+    return (
+        ev.rollup(day.alias("d"), hour.alias("h"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.coalesce("d", F.lit("<all>")).alias("day"),
+            F.coalesce("h", F.lit("<all>")).alias("hour"),
+            "gid",
+            "n",
+            "value_cents",
+            "n_users",
+        )
+    )

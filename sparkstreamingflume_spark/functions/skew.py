@@ -71,6 +71,10 @@ def salted_join(
     direct join (certified by q_enrich_join_salted against the plain
     join oracle).
     """
+    if how not in ("inner", "left"):
+        # right/full would emit one row per unmatched dim REPLICA (n_salts
+        # phantom rows per unmatched dim key) — not a real join result.
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     dim_rep = dim.withColumn("_salt", F.explode(salts))
     fact_s = fact.withColumn(

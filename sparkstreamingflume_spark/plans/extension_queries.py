@@ -1031,7 +1031,7 @@ _PREP_MIN_CPT, _PREP_MAX_CPT = 480, 600
     ),
     kept AS (
         SELECT min(doc_id) AS doc_id, any_value(text) AS text,
-               any_value(source) AS source
+               arg_min(source, doc_id) AS source
         FROM corpus GROUP BY md5(text)
     ),
     feat AS (
@@ -1077,10 +1077,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(
         d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source")
     )
+    # any_value(text) is safe (identical within an md5 group); source is
+    # pinned to the keeper doc's via min_by so a cross-source duplicate
+    # text can't make the survivor engine-dependent.
     kept = corpus.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id"),
         F.any_value("text").alias("text"),
-        F.any_value("source").alias("source"),
+        F.min_by("source", "doc_id").alias("source"),
     )
     tok = tokens("text")
     n_tok = F.size(tok)

@@ -84,3 +84,12 @@ def test_scan_pruning_and_pushdown(spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in p, f"{name} has a Python row path"
+
+
+def test_salted_join_rejects_right_outer():
+    import pytest as _pytest
+
+    from sparkstreamingflume_spark.functions.skew import salted_join
+
+    with _pytest.raises(ValueError):
+        salted_join(None, None, "k", how="right")  # guard fires pre-join

@@ -459,8 +459,8 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
-           sum(len({_TOK})) AS sum_tokens
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len({_TOK})) AS BIGINT) AS sum_tokens
     FROM documents GROUP BY lang, source
     """,
     doc="Corpus rollup by (lang, source): doc/char/token totals — the "

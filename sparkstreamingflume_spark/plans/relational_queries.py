@@ -34,9 +34,9 @@ def _cents(col: str) -> F.Column:
     "q_tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           sum({_CENTS.format(col='l_extendedprice')}) AS sum_base_cents,
-           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')}) AS sum_disc_cents,
+           CAST(sum({_CENTS.format(col='l_quantity')}) AS BIGINT) AS sum_qty_c,
+           CAST(sum({_CENTS.format(col='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+           CAST(sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -55,7 +55,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
             F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
             F.sum(F.floor(disc * 100).cast("long")).alias("sum_disc_cents"),
             F.count("*").alias("count_order"),
@@ -68,7 +68,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o.o_orderpriority,
            count(*) AS n_lines,
-           sum({_CENTS.format(col='l.l_extendedprice')}) AS revenue_cents
+           CAST(sum({_CENTS.format(col='l.l_extendedprice')}) AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -367,11 +367,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     """
     SELECT strftime(ts, '%Y%m%d') AS dt,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type NOT IN ('click','view','purchase')
-                    THEN 1 ELSE 0 END) AS other
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS other
     FROM events GROUP BY 1
     """,
     doc="Pivot: per-day event-type matrix. Spark's pivot() compiles to the "
@@ -551,8 +551,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     f"""
     SELECT l_orderkey,
-           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
-               AS revenue_cents,
+           CAST(sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
+               AS BIGINT) AS revenue_cents,
            strftime(o_orderdate, '%Y-%m-%d') AS odate,
            o_orderpriority
     FROM customer
@@ -596,8 +596,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     f"""
     SELECT n_name,
-           sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
-               AS revenue_cents
+           CAST(sum({_CENTS.format(col='l_extendedprice * (1 - l_discount)')})
+               AS BIGINT) AS revenue_cents
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

@@ -3,6 +3,12 @@
 Runs every registered query at sf0.01 (override: SPARK_GRAFT_VALIDATE_SF)
 on Spark AND its DuckDB oracle, compares row count + (sorted) schema +
 order-insensitive value hash.
+
+The hash is TYPE-TAGGED (int / float / Decimal / bool hash differently)
+and the oracle result is fetched through Arrow — exactly like the
+driver — so e.g. an uncast DuckDB ``sum(BIGINT)`` (HUGEINT → Arrow
+decimal128 → Decimal) fails here the same way it fails the driver gate
+instead of str()-coercing to a false pass.
 Usage: python tools/validate.py [query ...]
 """
 
@@ -11,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
 
@@ -24,11 +31,15 @@ TABLES = (
 def norm_cell(v) -> str:
     if v is None:
         return "<NULL>"
-    if isinstance(v, float):
-        return repr(v)
     if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"d:{v}"
+    return f"{type(v).__name__}:{v}"
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -75,9 +86,9 @@ def main() -> None:
             n_pass += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(q.oracle).arrow()
+            ocols = list(tbl.column_names)
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1

@@ -34,9 +34,12 @@ def salted_agg(
     salted = df.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
+    # count means count(*): F.count(F.lit(1)) counts rows. F.count(expr)
+    # would skip NULLs in expr and silently diverge from the plain
+    # groupBy().count() the salted form must be row-identical to.
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
-            (F.count(expr) if fn == "count" else getattr(F, fn)(expr)).alias(out)
+            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(expr)).alias(out)
             for out, (expr, fn) in aggs.items()
         ]
     )

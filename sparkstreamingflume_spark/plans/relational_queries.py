@@ -118,14 +118,21 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00')
     """,
-    doc="Left-anti join: customers with no orders at all.",
+    doc="Left-anti join: customers with no order since 1997-07-01 (the "
+    "date filter keeps the fixture result non-empty — every synthetic "
+    "customer has SOME order, so the unfiltered anti-join certifies "
+    "nothing).",
     tags=("relational", "join"),
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -281,13 +288,21 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey AS partkey FROM part
     EXCEPT
     SELECT l_partkey FROM lineitem
+    WHERE l_quantity >= 48
     """,
-    doc="EXCEPT (distinct): parts never shipped.",
+    doc="EXCEPT (distinct): parts never shipped in a large quantity "
+    "(>=48). The quantity filter keeps the fixture result non-empty at "
+    "every SF — every synthetic part ships at least once overall, so "
+    "the unfiltered form certifies nothing.",
     tags=("relational", "setop"),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
-    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("partkey"))
+    )
     return p.subtract(li)
 
 

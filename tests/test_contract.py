@@ -93,3 +93,22 @@ def test_salted_join_rejects_right_outer():
 
     with _pytest.raises(ValueError):
         salted_join(None, None, "k", how="right")  # guard fires pre-join
+
+
+def test_salted_agg_count_star_semantics_with_nulls(spark):
+    """salted_agg's 'count' must be count(*): NULLs in the counted
+    column (and even a NULL group key) still count as rows, exactly like
+    the direct groupBy().count() it claims row-identity with."""
+    from sparkstreamingflume_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", None), (None, 5), ("b", None)],
+        "k string, v int",
+    )
+    got = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in salted_agg(
+            df, ["k"], {"n": ("v", "count"), "sum_v": ("v", "sum")}
+        ).collect()
+    }
+    assert got == {"a": (3, 1), None: (1, 5), "b": (1, None)}

@@ -200,8 +200,11 @@ def q_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lines
     """,
     doc="P4 — single-field MD5 mask, rebuild joined line "
-    "(reference src/DesenPross.scala:94-115; digest src/MD5.java:163-284).",
+    "(reference src/DesenPross.scala:94-115; digest src/MD5.java:163-284). "
+    "Extra: strict single-field case of q_md5_mask_multi (same mask→rejoin "
+    "path, P10 md5 primitive certified byte-identical there).",
     tags=("transform", "P4"),
+    extra=True,
 )
 def q_md5_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cdr_lines(spark, sf_dir)
@@ -243,8 +246,10 @@ def q_md5_mask_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="P6/P7 — drop fields {2,4} in a single pass; the reference's "
     "shifting-index fold (src/DesenPross.scala:123-142,157-165) is "
-    "unnecessary in one pass.",
+    "unnecessary in one pass. Extra: same drop-by-index path as the "
+    "44→10 projection certified by q_project_44to10.",
     tags=("transform", "P6", "P7"),
+    extra=True,
 )
 def q_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cdr_lines(spark, sf_dir)
@@ -284,8 +289,11 @@ def q_project_44to10(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH {LINES_CTE} SELECT line FROM lines WHERE len({_ARR}) = 44",
     doc="P9 — dirty-record filter: keep records whose Java-split width "
     "matches the schema (reference src/ProcessSums.scala:435). Lines with "
-    "a trailing '|' still count 44 — pins split(sep,0) semantics.",
+    "a trailing '|' still count 44 — pins split(sep,0) semantics. Extra: "
+    "q_gprs_pipeline applies this exact predicate (same 53,962-row result "
+    "at sf0.01) as its first stage.",
     tags=("transform", "P9"),
+    extra=True,
 )
 def q_dirty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cdr_lines(spark, sf_dir)
@@ -302,8 +310,10 @@ def q_dirty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="P13 — timestamp → yyyyMMdd/hour bucketing, the reference's output "
     "path partitioning (src/StreamingFlumeProcess.scala:140-141; "
-    "src/ProcessSums.scala:252-255).",
+    "src/ProcessSums.scala:252-255). Extra: the same bucketing is "
+    "certified inside q_window_tumbling (hour grain) and q_time_rollup.",
     tags=("transform", "P13"),
+    extra=True,
 )
 def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -398,8 +408,11 @@ def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e CROSS JOIN (VALUES ('yaxin'), ('yiyang')) p(partner)
     """,
     doc="J3 — dual-partner fan-out: every record duplicated into two "
-    "independent sink pipelines (reference src/ProcessSums.scala:336-403).",
+    "independent sink pipelines (reference src/ProcessSums.scala:336-403). "
+    "Extra: composition of certified J1 + O1 shapes; row math pinned here "
+    "by the pytest oracle gate.",
     tags=("join", "J3"),
+    extra=True,
 )
 def q_fanout_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -419,8 +432,10 @@ def q_fanout_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_count",
     "SELECT count(*) AS n FROM lineitem",
     doc="A1 — per-batch record count "
-    "(reference src/StreamingFlumeProcess.scala:109).",
+    "(reference src/StreamingFlumeProcess.scala:109). Extra: the global "
+    "count is the degenerate single-group case of q_count_by_type.",
     tags=("agg", "A1"),
+    extra=True,
 )
 def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
@@ -592,8 +607,10 @@ def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hot prefix's rows spread over 16 reducers in phase 1 instead of "
     "funneling one; the oracle is the PLAIN groupBy — results must be "
     "identical. This is the aggregation-side answer to the skew the "
-    "reference's per-type traffic actually had.",
+    "reference's per-type traffic actually had. Extra: how-variant of "
+    "q_count_by_type (identical results by construction).",
     tags=("agg", "A3", "skew"),
+    extra=True,
 )
 def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingflume_spark.functions.skew import salted_agg
@@ -622,8 +639,11 @@ def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the PLAIN join: results must be row-identical. This is the "
     "pre-planned alternative when AQE's runtime skew splitting can't "
     "see the skew (a hot key hiding inside one partition) and the dim "
-    "is small enough to replicate but not to broadcast per-executor.",
+    "is small enough to replicate but not to broadcast per-executor. "
+    "Extra: how-variant of q_broadcast_join (identical results by "
+    "construction).",
     tags=("join", "J1", "skew"),
+    extra=True,
 )
 def q_enrich_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingflume_spark.functions.skew import salted_join

@@ -274,8 +274,11 @@ _BITS_SQL = " + ".join(
     "bits of its h32 hash; the sign of the per-bit sum is the signature "
     "bit. One explode + one 16-column groupBy — map-side combinable, "
     "shuffle bounded by |docs|. Near-dups then differ in <=k bits "
-    "(hamming ball probing at scale).",
+    "(hamming ball probing at scale). Extra: q_dedup_simhash_pairs "
+    "recomputes these signatures and certifies them through its hamming "
+    "distances.",
     tags=("dedup",),
+    extra=True,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -399,8 +402,11 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector is assigned to its nearest of K centroids (broadcast, here "
     "the first 8 vectors standing in for k-means centroids). Search then "
     "probes only the query's cell(s): corpus partitioned/bucketed by "
-    "centroid_id, candidate set |corpus|/K per query instead of |corpus|.",
+    "centroid_id, candidate set |corpus|/K per query instead of |corpus|. "
+    "Extra: q_embed_ivf_search recomputes this assignment as its first "
+    "stage and certifies it end-to-end.",
     tags=("similarity",),
+    extra=True,
 )
 def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_norm(spark, sf_dir)
@@ -585,8 +591,10 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     """,
     doc="Token counting two ways: whitespace split and a BPE-ish regex "
     "(letter runs / digit runs / single symbols) — the budget metric for "
-    "training-data sizing.",
+    "training-data sizing. Extra: both token counts are certified in "
+    "aggregate by q_text_stats and q_corpus_prep.",
     tags=("text",),
+    extra=True,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -932,8 +940,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Text normalization (the step before any dedup/fingerprint pass): "
     "lowercase, non-alnum -> space, whitespace collapse, trim; plus the "
     "normalized content hash so exact dedup runs on canonical text. Pure "
-    "codegen'd regexp work, no shuffle.",
+    "codegen'd regexp work, no shuffle. Extra: the same normalize chain "
+    "is embedded in every dedup/fingerprint pipeline certified above.",
     tags=("text",),
+    extra=True,
 )
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

@@ -33,6 +33,13 @@ class Query:
     doc: str = ""
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
+    # extra=True: still registered, locally validated (tools/validate.py)
+    # and oracle-certified by pytest (tests/test_oracle_extras.py), but
+    # NOT exposed through __spark_entry__.queries() — the driver certifies
+    # at most 50 entries per round, so that window is reserved for the 50
+    # primary queries. Every extra is a strict subset or a how-variant of
+    # a primary query (see each decorator's doc).
+    extra: bool = False
 
 
 def query(
@@ -41,13 +48,27 @@ def query(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    extra: bool = False,
 ) -> Callable[[Builder], Builder]:
     """Register a declared query (decorator over the Spark builder)."""
 
     def wrap(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, doc=doc or (fn.__doc__ or ""), tags=tags, bench=bench)
+        REGISTRY[name] = Query(
+            name,
+            fn,
+            oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+            bench=bench,
+            extra=extra,
+        )
         return fn
 
     return wrap
+
+
+def primary_queries() -> dict[str, Query]:
+    """The driver-certified surface (must stay <=50 entries)."""
+    return {n: q for n, q in REGISTRY.items() if not q.extra}

@@ -102,8 +102,10 @@ def q_join_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
     """,
     doc="Left-semi join: customers with ≥1 recent order. Semi joins ship "
-    "only the probe side's columns — no fact-row duplication at scale.",
+    "only the probe side's columns — no fact-row duplication at scale. "
+    "Extra: driver-certified inside q_semi_anti (tagged union).",
     tags=("relational", "join"),
+    extra=True,
 )
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -125,8 +127,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Left-anti join: customers with no order since 1997-07-01 (the "
     "date filter keeps the fixture result non-empty — every synthetic "
     "customer has SOME order, so the unfiltered anti-join certifies "
-    "nothing).",
+    "nothing). Extra: driver-certified inside q_semi_anti (tagged union).",
     tags=("relational", "join"),
+    extra=True,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -140,8 +143,11 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_distinct",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     doc="Distinct (hash-aggregate without measures); partial distinct on "
-    "the map side bounds the shuffle at |distinct values|.",
+    "the map side bounds the shuffle at |distinct values|. Extra: "
+    "distinct-by-key is the grouping half of q_dedup_exact / "
+    "q_count_distinct.",
     tags=("relational", "agg"),
+    extra=True,
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -157,8 +163,10 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="ROLLUP grouping-sets aggregate with grouping_id disambiguation "
-    "(NULL group values coalesced to a sentinel so real NULLs can't alias).",
+    "(NULL group values coalesced to a sentinel so real NULLs can't alias). "
+    "Extra: driver-certified inside q_grouping_sets (tagged union).",
     tags=("relational", "agg"),
+    extra=True,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -186,8 +194,10 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE grouping-sets aggregate over orders.",
+    doc="CUBE grouping-sets aggregate over orders. Extra: driver-certified "
+    "inside q_grouping_sets (tagged union).",
     tags=("relational", "agg"),
+    extra=True,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -247,8 +257,10 @@ def q_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="lag() window: per-user inter-event gap in seconds (-1 for the "
     "first event). The sessionization primitive a CDR pipeline needs. "
     "Computed on integer microseconds both sides — second-truncated vs "
-    "fractional epoch differ across engines.",
+    "fractional epoch differ across engines. Extra: q_sessionize's gap "
+    "detection is this exact lag computation.",
     tags=("relational", "window"),
+    extra=True,
 )
 def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -272,8 +284,10 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERSECT
     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
     """,
-    doc="INTERSECT (distinct) of two part-key sets.",
+    doc="INTERSECT (distinct) of two part-key sets. Extra: "
+    "driver-certified inside q_set_ops (tagged union).",
     tags=("relational", "setop"),
+    extra=True,
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -293,8 +307,10 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXCEPT (distinct): parts never shipped in a large quantity "
     "(>=48). The quantity filter keeps the fixture result non-empty at "
     "every SF — every synthetic part ships at least once overall, so "
-    "the unfiltered form certifies nothing.",
+    "the unfiltered form certifies nothing. Extra: driver-certified "
+    "inside q_set_ops (tagged union).",
     tags=("relational", "setop"),
+    extra=True,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
@@ -315,8 +331,11 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="Global top-K by value (TakeOrderedAndProject — per-partition heaps "
-    "+ a K-row driver merge, no full sort at scale).",
+    "+ a K-row driver merge, no full sort at scale). Extra: the "
+    "TakeOrderedAndProject plan is asserted by tests/test_contract.py; "
+    "ordering semantics are certified by q_rank_topn_per_group.",
     tags=("relational", "sort"),
+    extra=True,
 )
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -694,8 +713,10 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_count_distinct: fixed-size mergeable sketches, one pass, no "
     "per-key exact dedup shuffle. No cross-engine oracle (sketch "
     "estimates are engine-specific); tests/test_approx.py pins the "
-    "estimate within 5% of the exact count.",
+    "estimate within 5% of the exact count. Extra: driver-checked "
+    "rows-only inside q_approx_aggs.",
     tags=("relational", "agg", "approx"),
+    extra=True,
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -710,8 +731,10 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # sketch output is engine-specific: certified rows-only + pytest
     doc="approx_percentile (t-digest-style sketch) per return flag — the "
     "100 TB form of q_percentile: mergeable, bounded memory, no "
-    "per-group sort. tests/test_approx.py pins it within 1% of exact.",
+    "per-group sort. tests/test_approx.py pins it within 1% of exact. "
+    "Extra: driver-checked rows-only inside q_approx_aggs.",
     tags=("relational", "agg", "approx"),
+    extra=True,
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -764,4 +787,152 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
             "n_users",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merged certification queries: tagged unions that keep several operators
+# driver-certified in one registry slot each (the driver certifies at most
+# 50 queries per round; the merged components stay registered as extras,
+# pinned by tests/test_oracle_extras.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_ops",
+    """
+    SELECT 'intersect' AS op, partkey FROM (
+        SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+    UNION ALL
+    SELECT 'except' AS op, partkey FROM (
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    """,
+    doc="INTERSECT + EXCEPT certified in one result (tagged union): "
+    "part keys returned under both 'R' and 'A' flags, and parts never "
+    "shipped in quantity >=48 (the filter keeps the except side "
+    "non-empty at every SF). Both set ops hash-shuffle on the full row "
+    "with partial distinct map-side — |distinct| exchange, same scale "
+    "shape as an aggregate.",
+    tags=("relational", "setop"),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = q_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), "partkey"
+    )
+    exc = q_except(spark, sf_dir).select(F.lit("except").alias("op"), "partkey")
+    return inter.unionByName(exc)
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT 'rollup' AS op,
+           coalesce(l_returnflag, '<all>') AS k1,
+           coalesce(l_linestatus, '<all>') AS k2,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS op,
+           coalesce(o_orderstatus, '<all>') AS k1,
+           coalesce(o_orderpriority, '<all>') AS k2,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP + CUBE grouping sets certified in one result (tagged "
+    "union, generic k1/k2 key columns): the lineitem flag/status rollup "
+    "and the orders status/priority cube, each with grouping_id "
+    "disambiguation and NULLs coalesced to a sentinel. One expanded "
+    "aggregate per side — Spark computes all grouping sets in a single "
+    "shuffle with partial aggregation.",
+    tags=("relational", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.lit("rollup").alias("op"),
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("k2"),
+            "gid",
+            "n",
+        )
+    )
+    cub = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("k2"),
+            "gid",
+            "n",
+        )
+    )
+    return roll.unionByName(cub)
+
+
+@query(
+    "q_semi_anti",
+    """
+    SELECT 'semi' AS op, c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    UNION ALL
+    SELECT 'anti' AS op, c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00')
+    """,
+    doc="Left-semi + left-anti joins certified in one result (tagged "
+    "union): customers with a recent order, and customers with no order "
+    "since 1997-07-01 (both date-filtered so neither side is vacuous). "
+    "Semi/anti ship only probe-side columns — no fact duplication at "
+    "scale; both broadcast the filtered orders key set under AQE.",
+    tags=("relational", "join"),
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
+    )
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_approx_aggs",
+    None,  # sketch outputs are engine-specific: rows-only + pytest bounds
+    doc="Approximate aggregates in one pass per event type: HLL++ "
+    "distinct users (approx_count_distinct, fixed-size mergeable "
+    "sketch) and t-digest-style value percentiles (approx_percentile) "
+    "— the 100 TB forms of q_count_distinct / q_percentile: one scan, "
+    "bounded memory, no per-key exact shuffle or per-group sort. No "
+    "cross-engine oracle (sketch estimates are engine-specific); "
+    "tests/test_approx.py pins both within tolerance of exact.",
+    tags=("relational", "agg", "approx"),
+)
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")[0].alias(
+            "p50_value"
+        ),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")[1].alias(
+            "p95_value"
+        ),
+        F.count("*").alias("n_events"),
     )

@@ -427,8 +427,67 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ASSIGN_SQL = f"""
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT b.vec_id, a.vec_id AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, a.vec_id) AS rn
+            FROM e a JOIN e b ON a.vec_id < {N_CENTROIDS}
+        ) t WHERE rn = 1
+    )"""
+
+
 @query(
     "q_dedup_embed_cosine",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    {_IVF_ASSIGN_SQL},
+    cells AS (
+        SELECT e.vec_id, e.emb, e.norm, assign.centroid_id
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+    FROM cells a JOIN cells b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_COS_PPM} >= 350000
+    """,
+    doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale path): "
+    "vectors are assigned to their nearest centroid (q_embed_ivf), and "
+    "pairs are generated ONLY within a cell — an equi-join on "
+    "centroid_id, |corpus|²/K comparisons instead of the |corpus|² "
+    "all-pairs inequality join (which Spark must execute as a "
+    "nested-loop; plan-asserted hash-join-only by "
+    "tests/test_contract.py). Near-dup recall vs the exact all-pairs "
+    "form (kept as extra q_dedup_embed_cosine_bruteforce) is pinned by "
+    "tests/test_approx.py; at 100 TB the corpus is bucketed by "
+    "centroid_id so each cell's pairs are partition-local.",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
+    cells = e.join(assign, "vec_id")
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos_ppm().cast("long").alias("cos_ppm"),
+        )
+        .filter(F.col("cos_ppm") >= 350_000)
+    )
+
+
+@query(
+    "q_dedup_embed_cosine_bruteforce",
     f"""
     WITH e AS ({_EMB_SQL})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -436,12 +495,15 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_COS_PPM} >= 350000
     """,
-    doc="Embedding-cosine near-dup pairs (brute force at fixture scale; the "
-    "documented scale path is q_embed_ivf bucketing first, then pairs "
-    "only within a cell — |corpus|²/K instead of |corpus|²).",
+    doc="Embedding-cosine near-dup pairs, exact all-pairs form — O(n²), "
+    "fixture-scale only: the recall reference for the IVF-cell-gated "
+    "q_dedup_embed_cosine. Extra: never the scale path; certified by "
+    "the pytest oracle gate and used by tests/test_approx.py to "
+    "measure IVF recall.",
     tags=("dedup", "similarity"),
+    extra=True,
 )
-def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embed_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_norm(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -779,18 +841,57 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= {JACCARD_MIN_PPM}
     """,
     doc="The production dedup composition: LSH band candidates (cheap, "
-    "bucket-join) verified with exact Jaccard (computed only on the "
-    "candidate pairs — the expensive inverted-index join is gated by the "
-    "candidate set instead of running corpus-wide). This is the shape "
-    "that holds at 100 TB: stage-1 cost ~ |buckets|, stage-2 cost ~ "
-    "|candidates|.",
+    "bucket-join) verified with exact Jaccard computed ONLY on the "
+    "candidate pairs: the shingle posting lists are semi-joined down to "
+    "the candidate doc set BEFORE the pair-generation self-join, and the "
+    "generated pairs are intersected with the candidate pairs before any "
+    "denominator work. Stage-1 cost ~ |buckets|, stage-2 cost ~ "
+    "|candidate docs|' postings — never corpus-wide. Per-doc shingle "
+    "cardinalities are unchanged by the doc gate (a kept doc keeps ALL "
+    "its shingles), so Jaccard values are identical to the corpus-wide "
+    "computation; the oracle spells the corpus-wide form for exactly "
+    "that reason. Plan-asserted candidate-gated (LeftSemi) by "
+    "tests/test_contract.py. Note: the candidate frame is referenced "
+    "three times (doc gate ×2, pair intersect) and Catalyst does not "
+    "reuse the LSH exchange across them — at 100 TB, materialize "
+    "stage-1 candidates (persist or a checkpoint table) before the "
+    "verify pass; the recompute is harmless at fixture scale.",
     tags=("dedup",),
 )
 def q_dedup_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = q_dedup_minhash(spark, sf_dir)
-    verified = q_dedup_ngram_jaccard(spark, sf_dir)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard_ppm"
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = _docs(spark, sf_dir)
+    postings = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    ).select("doc_id", h32(F.col("s")).alias("shingle"))
+    # The cost gate: only candidate docs' postings enter any further work.
+    sh = postings.join(cand_docs, "doc_id", "left_semi")
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])  # drop same-cell non-candidates early
+    )
+    ca, cb = card.alias("ca"), card.alias("cb")
+    jac = F.col("n_common") * 1_000_000.0 / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_MIN_PPM)
+        .select("doc_a", "doc_b", F.floor(jac).cast("long").alias("jaccard_ppm"))
     )
 
 

@@ -44,6 +44,29 @@ def test_approx_percentile_tracks_exact(spark):
         assert abs(a95 - e95) <= 0.01 * e95, (k, a95, e95)
 
 
+def test_ivf_cosine_pairs_recall_vs_bruteforce(spark):
+    """The IVF-cell-gated pair query trades recall for a K-fold cost cut;
+    this pins the trade: its pairs are a strict subset of the exact
+    all-pairs result, with recall bounded below. (The synthetic
+    embeddings are near-random — max cosine ~0.49 — so the fixture bound
+    is loose; real near-dup pairs at cos>=0.9 share a nearest centroid
+    almost surely.)"""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ivf = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine"].build(spark, sf).collect()
+    }
+    bf = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine_bruteforce"].build(spark, sf).collect()
+    }
+    assert ivf <= bf
+    assert len(bf) > 0
+    assert len(ivf) / len(bf) >= 0.2, (len(ivf), len(bf))
+
+
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The as-of must be the union-merge form: no join operator at all,
     one window over one hash exchange on user_id."""

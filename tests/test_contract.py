@@ -86,6 +86,39 @@ def test_scan_pruning_and_pushdown(spark):
         assert "EvalPython" not in p, f"{name} has a Python row path"
 
 
+def test_dedup_candidates_verified_is_candidate_gated(spark):
+    """The Jaccard verify stage must be gated by the LSH candidate set:
+    the shingle postings are semi-joined to candidate doc_ids before the
+    pair-generation self-join (VERDICT r2: the previous composition ran
+    the inverted-index join corpus-wide)."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    plan = (
+        REGISTRY["q_dedup_candidates_verified"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, "postings are not candidate-gated"
+
+
+def test_embed_cosine_pairs_have_no_allpairs_join(spark):
+    """q_dedup_embed_cosine must generate pairs via the IVF-cell hash
+    join, never the O(n²) all-pairs inequality join. The only
+    nested-loop allowed is the Cross broadcast of the K centroids
+    (linear in corpus); an Inner BNLJ means a vec_id<vec_id pair scan."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    plan = (
+        REGISTRY["q_dedup_embed_cosine"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for ln in plan.split("\n"):
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln and "Inner" not in ln, f"all-pairs join: {ln.strip()}"
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_rejects_right_outer():
     import pytest as _pytest
 

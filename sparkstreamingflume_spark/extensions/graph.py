@@ -7,10 +7,14 @@ express — this is the engine's iterative-algorithm path, implemented the
 GraphX way: label propagation to fixpoint.
 
 Scale posture: each iteration is one broadcast-or-shuffle join + a
-map-side-combinable min-aggregate, O(log n) iterations of Spark jobs
-(small-world dup graphs converge in a handful). Labels persist across
-iterations (unpersisted after); the driver holds only the convergence
-counter — never data.
+map-side-combinable min-aggregate. Plain min-label propagation converges
+in O(diameter) rounds — near-dup clusters are small-world (tiny
+diameter), so a handful of rounds in practice; a long path/chain graph
+needs diameter rounds, and the loop RAISES if the cap is hit rather
+than return wrong labels. (True O(log n) needs large-star/small-star
+pointer doubling — the documented upgrade path if diameters grow.)
+Labels persist across iterations (unpersisted after); the driver holds
+only the convergence counter — never data.
 """
 
 from __future__ import annotations
@@ -23,13 +27,17 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, cluster_id) with cluster_id = min node id reachable.
 
     Undirected: edges are symmetrized internally. Only nodes appearing in
     at least one edge are returned (isolated docs are their own cluster
     trivially — join back if needed).
+
+    Raises ``RuntimeError`` if labels have not reached a fixpoint after
+    ``max_iter`` rounds (propagation needs ~graph-diameter rounds) —
+    non-converged labels are silently-wrong cluster ids, never returned.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -37,11 +45,20 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "cluster_id", F.col("node")
-    ).persist()
-    labels.count()
+    # Each round references labels TWICE (neighbor join + union), so the
+    # logical plan would DOUBLE per iteration — exponential analysis time
+    # past ~10 rounds. localCheckpoint (eager) truncates the lineage to
+    # the materialized partitions each round: plans stay one-round deep.
+    # (Executor-memory resident and not fault-tolerant: on a real cluster
+    # with flaky executors use checkpoint() to a reliable dir instead.)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
 
+    changed = -1
     for _ in range(max_iter):
         # every node also hears its neighbors' current labels
         candidate = (
@@ -50,7 +67,7 @@ def connected_components(
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             candidate.alias("n")
@@ -58,11 +75,16 @@ def connected_components(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = candidate
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (needs "
+            "~graph-diameter rounds) or switch to pointer doubling"
+        )
     return labels
 
 

@@ -971,8 +971,9 @@ _CAND_CTES = f"""
     """,
     doc="Dedup clustering: near-dup candidate pairs (MinHash LSH) as an "
     "undirected graph, connected components via iterative label "
-    "propagation (extensions/graph.py — O(log n) join+min-agg rounds, "
-    "the GraphX shape; oracle uses a recursive CTE). The component IS "
+    "propagation (extensions/graph.py — O(diameter) join+min-agg "
+    "rounds with per-round lineage truncation, raising on "
+    "non-convergence; oracle uses a recursive CTE). The component IS "
     "the dedup unit at scale: transitive near-dups collapse together "
     "even when pairwise LSH missed an edge.",
     tags=("dedup", "iterative"),

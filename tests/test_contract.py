@@ -145,3 +145,24 @@ def test_salted_agg_count_star_semantics_with_nulls(spark):
         ).collect()
     }
     assert got == {"a": (3, 1), None: (1, 5), "b": (1, None)}
+
+
+def test_connected_components_path_graph_convergence(spark):
+    """Min-label propagation needs ~diameter rounds: a 12-node path
+    converges to one cluster with enough rounds and RAISES (never
+    returns wrong labels) when capped below the diameter."""
+    import pytest as _pytest
+
+    from sparkstreamingflume_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, max_iter=15).collect()
+    }
+    assert labels == {i: 0 for i in range(12)}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)

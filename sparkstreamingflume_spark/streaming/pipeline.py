@@ -127,18 +127,11 @@ def process_type(
     )
 
 
-def routed_pipeline(df: DataFrame, lookup: DataFrame, how: str = "inner") -> DataFrame:
-    """The whole 6-type graph in ONE pass over the stream.
-
-    The schema registry becomes literal map columns (rec_type →
-    n_fields / phone-index set / lac / ci / start / tag), so routing,
-    conforming, masking, and key extraction are a single projection —
-    one scan, one broadcast join, no per-type branch-and-union (the
-    reference re-filtered its cached stream once per type,
-    src/StreamingSocketProcess.scala:138-159; a naive port unions 6
-    filtered branches = 6 passes per micro-batch).
-    ``routed_pipeline_unioned`` keeps the branch-per-type shape as the
-    equivalence reference.
+def _routed_masked(df: DataFrame) -> tuple[DataFrame, str, F.Column, F.Column]:
+    """Shared pre-join stage of the one-pass router: route → conform →
+    mask → derive lookup_key, all as a single projection over literal
+    map columns (rec_type → n_fields / phone-index set / lac / ci).
+    Returns (frame with _arr + lookup_key, sep, start_time col, tag col).
     """
     types = sorted(RECORD_TYPES.items())
     m_nf = F.create_map(*[x for p, rt in types for x in (F.lit(p), F.lit(rt.n_fields))])
@@ -176,17 +169,82 @@ def routed_pipeline(df: DataFrame, lookup: DataFrame, how: str = "inner") -> Dat
         F.element_at(F.col("_arr"), F.element_at(m_lac, rt_col) + 1),
         F.element_at(F.col("_arr"), F.element_at(m_ci, rt_col) + 1),
     )
-    joined = masked.withColumn("lookup_key", key).join(
+    start_time = F.element_at(F.col("_arr"), F.element_at(m_st, rt_col) + 1)
+    return masked.withColumn("lookup_key", key), sep, start_time, F.element_at(
+        m_tag, rt_col
+    )
+
+
+def routed_pipeline(df: DataFrame, lookup: DataFrame, how: str = "inner") -> DataFrame:
+    """The whole 6-type graph in ONE pass over the stream.
+
+    The schema registry becomes literal map columns (rec_type →
+    n_fields / phone-index set / lac / ci / start / tag), so routing,
+    conforming, masking, and key extraction are a single projection —
+    one scan, one broadcast join, no per-type branch-and-union (the
+    reference re-filtered its cached stream once per type,
+    src/StreamingSocketProcess.scala:138-159; a naive port unions 6
+    filtered branches = 6 passes per micro-batch).
+    ``routed_pipeline_unioned`` keeps the branch-per-type shape as the
+    equivalence reference; ``routed_pipeline_dual`` is the two-partner
+    form the reference actually deploys.
+    """
+    pre, sep, start_time, tag = _routed_masked(df)
+    joined = pre.join(
         F.broadcast(lookup), F.col("lookup_key") == F.col("map_key"), how
     )
     flag = F.col("map_value") if how == "inner" else F.coalesce("map_value", F.lit(""))
     return joined.select(
         F.array_join("_arr", sep).alias("value"),
-        F.element_at(F.col("_arr"), F.element_at(m_st, rt_col) + 1).alias(
-            "start_time"
-        ),
+        start_time.alias("start_time"),
         flag.alias("flag"),
-        F.element_at(m_tag, rt_col).alias("tag"),
+        tag.alias("tag"),
+    )
+
+
+def routed_pipeline_dual(
+    df: DataFrame, lookups: dict[str, DataFrame], how: str = "inner"
+) -> DataFrame:
+    """Per-partner enrichment fan-out — the reference's deployed shape:
+    it loads TWO broadcast maps (yaxin + yiyang,
+    src/StreamingSocketProcess.scala:110-119) and passes both into every
+    per-type writer (src/ProcessSums.scala:334; the intended per-partner
+    ``processTable(record, mapN)`` calls are at :371-372), each partner's
+    enrichment feeding its own sink tree (/yaxin vs /yiyang).
+
+    Here: one pre-join pass (route → conform → mask → key), then each
+    record fans out to every partner (J3) and is enriched against THAT
+    partner's map in a single broadcast join on (partner, lookup_key) —
+    the per-partner maps union into one partner-tagged broadcast, so N
+    partners still cost one scan + one join. Output adds a ``partner``
+    column for partner-routed sinks (K9). Row-equivalence with running
+    ``routed_pipeline`` once per partner is pinned by
+    tests/test_streaming.py (batch and streamed).
+    """
+    pre, sep, start_time, tag = _routed_masked(df)
+    partners = sorted(lookups)
+    fan = pre.withColumn(
+        "partner", F.explode(F.array(*[F.lit(p) for p in partners]))
+    )
+    tagged = None
+    for p in partners:
+        t = lookups[p].select(
+            F.lit(p).alias("_lk_partner"), "map_key", "map_value"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    joined = fan.join(
+        F.broadcast(tagged),
+        (F.col("partner") == F.col("_lk_partner"))
+        & (F.col("lookup_key") == F.col("map_key")),
+        how,
+    )
+    flag = F.col("map_value") if how == "inner" else F.coalesce("map_value", F.lit(""))
+    return joined.select(
+        F.array_join("_arr", sep).alias("value"),
+        start_time.alias("start_time"),
+        flag.alias("flag"),
+        tag.alias("tag"),
+        "partner",
     )
 
 

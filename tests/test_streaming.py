@@ -245,3 +245,66 @@ def test_onepass_router_equals_unioned(spark, lookup):
             for r in pipeline.routed_pipeline_unioned(df, lookup, how=how).collect()
         )
         assert one == ref, f"one-pass != unioned for how={how}"
+
+
+@pytest.fixture(scope="module")
+def lookup2(spark):
+    # yiyang's map: different coverage + different labels than yaxin's
+    rows = [
+        (f"L{a},C{b}", f"yy{a}{b}")
+        for a in range(5)
+        for b in range(3)
+        if (a + b) % 2 == 0
+    ]
+    return spark.createDataFrame(rows, ["map_key", "map_value"])
+
+
+def test_dual_lookup_equals_per_partner_single(spark, lookup, lookup2):
+    """Reference parity: both broadcast maps ride every pipeline
+    (StreamingSocketProcess.scala:110-119 + ProcessSums.scala:334).
+    The dual pipeline must equal running the single-lookup pipeline once
+    per partner, for inner AND left join modes."""
+    lines = corpus()
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    maps = {"yaxin": lookup, "yiyang": lookup2}
+    for how in ("inner", "left"):
+        dual = Counter(
+            tuple(r)
+            for r in pipeline.routed_pipeline_dual(df, maps, how=how).collect()
+        )
+        single = Counter()
+        for partner, lk in maps.items():
+            single.update(
+                tuple(r) + (partner,)
+                for r in pipeline.routed_pipeline(df, lk, how=how).collect()
+            )
+        assert dual == single, how
+
+
+def test_dual_lookup_stream_equals_batch(spark, tmp_path, lookup, lookup2):
+    """The dual-partner pipeline streams identically to its batch form."""
+    lines = corpus()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"part{i}.txt").write_text("\n".join(lines[i::3]) + "\n")
+    maps = {"yaxin": lookup, "yiyang": lookup2}
+
+    stream = sources.file_drop(spark, str(landing), max_files_per_trigger=2)
+    transformed = pipeline.routed_pipeline_dual(stream, maps, how="inner")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = sinks.start_pipeline(
+        transformed, sink, ckpt, available_now=True, query_name="t_dual"
+    )
+    q.awaitTermination(120)
+
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    expected = Counter(
+        tuple(r)
+        for r in pipeline.routed_pipeline_dual(df, maps, how="inner").collect()
+    )
+    assert read_counter(spark, out) == expected

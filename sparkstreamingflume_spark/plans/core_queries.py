@@ -693,6 +693,7 @@ _GPRS_FIELD_SQL = ", ".join(
     bench=True,
 )
 def q_gprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.functions.barrier import anchor, stage_columns
     from sparkstreamingflume_spark.schemas import GPRS
 
     df = _cdr_lines(spark, sf_dir)
@@ -702,23 +703,16 @@ def q_gprs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.get(arr, i)) if i in mask else F.get(arr, i)
         for i in GPRS_PROJECTION
     ]
-    # Materialize the split ONCE: a filter expressed over the split
-    # re-evaluates it (FilterExec has no subexpression elimination and
-    # PushPredicateThroughNonJoin would inline the alias), so stage the
-    # array as a column behind a non-deterministic pushdown barrier —
-    # the width predicate then reads the computed attribute. The filter
-    # is over a synthesized column, so no scan pushdown is forfeited.
-    return (
-        df.select(
-            "l_orderkey",
-            "l_linenumber",
-            L.line_fields("line").alias("_arr"),
-            F.monotonically_increasing_id().alias("_bar"),
-        )
-        .filter(F.size("_arr") == GPRS.n_fields)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.concat_ws("|", *fields).alias("out_line"),
-        )
+    # Materialize the split ONCE (functions/barrier.py): the width
+    # predicate and the 10-field projection both read the staged array
+    # attribute instead of re-evaluating the 44-way split. The filter is
+    # over a synthesized column, so no scan pushdown is forfeited; the
+    # plan shape (1 split, 4 md5) is pinned by tests/test_contract.py.
+    staged = stage_columns(
+        df, ["l_orderkey", "l_linenumber"], _arr=L.line_fields("line")
+    )
+    return staged.filter(anchor(F.size("_arr") == GPRS.n_fields)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws("|", *fields).alias("out_line"),
     )

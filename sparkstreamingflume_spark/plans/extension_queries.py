@@ -1291,3 +1291,289 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.floor(F.col("pr") * 1_000_000).cast("long").alias("pr_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators, round 3: sampling / mixing / scrubbing /
+# contamination / packing. All extras (the driver window holds the 50
+# primaries); oracle-certified by tests/test_oracle_extras.py + validate.py.
+# ---------------------------------------------------------------------------
+
+# Stratified sampling: per-stratum keep-rates (percent). Head sources keep
+# 80%, the long tail 25% — the up/down-weighting a data-mixing stage applies.
+_STRAT_HEAD = ("src0", "src1", "src2", "src3", "src4")
+_STRAT_HEAD_PCT, _STRAT_TAIL_PCT = 80, 25
+
+MIX_BUDGET_TOKENS = 10_000
+_MIX_W = [("de", 20), ("en", 40), ("es", 20), ("fr", 10), ("zh", 10)]
+PACK_MAX_TOKENS = 256
+
+
+@query(
+    "q_sample_stratified",
+    f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {h32_sql('CAST(doc_id AS VARCHAR)')} % 100 <
+          CASE WHEN source IN {_STRAT_HEAD} THEN {_STRAT_HEAD_PCT}
+               ELSE {_STRAT_TAIL_PCT} END
+    """,
+    doc="Deterministic stratified sampling: keep a doc iff "
+    "h32(doc_id) mod 100 falls under its stratum's keep-rate (head "
+    "sources 80%, tail 25%). Hash-gated sampling is reproducible across "
+    "engines, runs, and partitionings — unlike rand()-based sampling — "
+    "and is a pure codegen filter: no shuffle, scan-parallel at any "
+    "scale, and the SAME doc set is kept when the pipeline reruns "
+    "(critical for incremental crawls). Extra: certified by the pytest "
+    "oracle gate.",
+    tags=("text", "pipeline", "sampling"),
+    extra=True,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rate = F.when(
+        F.col("source").isin(*_STRAT_HEAD), F.lit(_STRAT_HEAD_PCT)
+    ).otherwise(F.lit(_STRAT_TAIL_PCT))
+    return d.filter(h32(F.col("doc_id").cast("string")) % 100 < rate).select(
+        "doc_id", "source", "lang"
+    )
+
+
+@query(
+    "q_data_mix",
+    f"""
+    WITH stats AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(lower(text), '{_BPE_RE}')))
+                    AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY lang
+    ),
+    w AS (SELECT * FROM (VALUES {", ".join(f"('{lang}', {pct})" for lang, pct in _MIX_W)})
+          t(lang, w_pct))
+    SELECT s.lang, n_docs, avail_tokens,
+           CAST(({MIX_BUDGET_TOKENS} * w_pct) // 100 AS BIGINT) AS target_tokens,
+           CAST(least(1000000,
+                floor((({MIX_BUDGET_TOKENS} * w_pct) // 100) * 1000000.0
+                      / avail_tokens)) AS BIGINT) AS sample_ppm
+    FROM stats s JOIN w ON s.lang = w.lang
+    """,
+    doc="Data-mixing calculator: given target language weights and a "
+    "total token budget, compute each stratum's token target and the "
+    "sampling rate (ppm, capped at 1) against its available tokens — "
+    "the numbers that drive q_sample_stratified-style gates in a "
+    "weighted pre-training mixture. One combinable rollup shuffle over "
+    "the corpus + a broadcast of the tiny weight table. Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("text", "pipeline", "sampling"),
+    extra=True,
+)
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("long"))
+        .cast("long")
+        .alias("avail_tokens"),
+    )
+    w = spark.createDataFrame(_MIX_W, ["lang", "w_pct"])
+    target = F.expr(f"({MIX_BUDGET_TOKENS} * w_pct) div 100")
+    return (
+        stats.join(F.broadcast(w), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            target.cast("long").alias("target_tokens"),
+            F.least(
+                F.lit(1_000_000),
+                F.floor(target * 1_000_000.0 / F.col("avail_tokens")),
+            )
+            .cast("long")
+            .alias("sample_ppm"),
+        )
+    )
+
+
+_PII_EMAIL_RE = "[a-z0-9._-]+@[a-z0-9.-]+"
+_PII_PHONE_RE = "\\+?[0-9]{7,}"
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id
+                    || '@example.com or +86' || (1380000000 + doc_id) AS raw
+        FROM documents
+    ),
+    emailed AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+        FROM enriched
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM emailed
+    """,
+    doc="PII scrubbing: mask emails then phone-number digit runs with "
+    "typed sentinels and count redactions per doc — the text-pipeline "
+    "sibling of the reference's MD5 phone masking (P4/P5, "
+    "src/DesenPross.scala:94-115): redact-for-training vs mask-for-"
+    "analytics. The synthetic corpus has no PII, so the query plants a "
+    "deterministic email+phone per doc first (same both engines — the "
+    "doubled-corpus pattern of q_dedup_exact). Regexes stay in the "
+    "RE2/Java-regex common subset. Pure codegen'd regexp work, no "
+    "shuffle. Extra: certified by the pytest oracle gate.",
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +86"),
+        (F.col("doc_id") + 1_380_000_000).cast("string"),
+    )
+    with_raw = d.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", _PII_EMAIL_RE, "<EMAIL>")
+    with_email = with_raw.select(
+        "doc_id",
+        "raw",
+        no_email.alias("no_email"),
+    )
+    return with_email.select(
+        "doc_id",
+        F.regexp_replace("no_email", _PII_PHONE_RE, "<PHONE>").alias("scrubbed"),
+        F.regexp_count("raw", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("no_email", F.lit(_PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+N_BENCH_DOCS = 25  # doc_id < 25 stands in for the eval/benchmark set
+
+
+@query(
+    "q_contamination",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT {h32_sql('s')} AS shingle
+        FROM (SELECT unnest(list_distinct({_SH})) AS s
+              FROM documents WHERE doc_id < {N_BENCH_DOCS})
+    ),
+    corp AS (
+        SELECT doc_id, {h32_sql('s')} AS shingle
+        FROM (SELECT doc_id, unnest(list_distinct({_SH})) AS s
+              FROM documents WHERE doc_id >= {N_BENCH_DOCS})
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_hit
+        FROM corp c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    ),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id)
+    SELECT card.doc_id,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(floor(coalesce(n_hit, 0) * 1000000.0 / n_sh) AS BIGINT)
+               AS contamination_ppm
+    FROM card LEFT JOIN hits ON hits.doc_id = card.doc_id
+    """,
+    doc="Benchmark-contamination check: per training doc, the fraction "
+    "(ppm) of its distinct 3-gram shingles that appear anywhere in the "
+    "eval set (docs 0..24 standing in for a benchmark corpus) — the "
+    "decontamination gate run before every pre-training mix. Shape: the "
+    "eval set collapses to a distinct shingle-hash set (tiny — "
+    "broadcastable at any realistic benchmark size) and the corpus "
+    "postings semi-join it; cost is one pass over corpus shingles, "
+    "never corpus x benchmark. Extra: certified by the pytest oracle "
+    "gate.",
+    tags=("text", "dedup", "pipeline"),
+    extra=True,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    ).select("doc_id", h32(F.col("s")).alias("shingle"))
+    bench = (
+        sh.filter(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
+    )
+    corp = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+    hits = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    card = corp.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return card.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.floor(F.coalesce("n_hit", F.lit(0)) * 1_000_000.0 / F.col("n_sh"))
+        .cast("long")
+        .alias("contamination_ppm"),
+    )
+
+
+@query(
+    "q_seq_pack",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST((cum - n_tok) // {PACK_MAX_TOKENS} AS BIGINT) AS seq_no,
+           CAST((cum - n_tok) % {PACK_MAX_TOKENS} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="Sequence packing (concat-and-chunk): docs are concatenated in "
+    "deterministic doc_id order within each source shard and chunked "
+    "into fixed {PACK}-token training sequences; each doc gets the "
+    "sequence number and offset where it starts (docs may straddle a "
+    "boundary — the standard GPT-style packing; greedy no-split "
+    "first-fit is inherently sequential and not worth a distributed "
+    "pass). One window shuffle partitioned by source: packing is "
+    "shard-local, so at 100 TB the unit is (source, date-bucket) or a "
+    "salted shard key sized so one shard's running sum fits a "
+    "partition — never a global-order window. Extra: certified by the "
+    "pytest oracle gate.".replace("{PACK}", str(PACK_MAX_TOKENS)),
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {PACK_MAX_TOKENS}").cast("long").alias("seq_no"),
+        (start % PACK_MAX_TOKENS).cast("long").alias("seq_offset"),
+    )

@@ -183,3 +183,20 @@ def test_gprs_pipeline_plan_stays_staged(spark):
     )
     assert plan.count("md5(") == 4, plan.count("md5(")
     assert plan.count("split(") == 1, plan.count("split(")
+
+
+def test_no_python_row_path_or_cartesian_anywhere(spark):
+    """Global scale invariants over EVERY registered query (primaries and
+    extras): no Python row path (EvalPython = row-at-a-time UDF) and no
+    CartesianProduct in any physical plan. Broadcast nested loops are
+    vetted per-query (see test_embed_cosine_pairs_have_no_allpairs_join);
+    these two node types are never acceptable."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name, q in sorted(REGISTRY.items()):
+        plan = (
+            q.build(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan, f"{name} has a Python row path"
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"

@@ -1,0 +1,70 @@
+"""Stream-stream interval join: streamed result must equal the batch
+join of the same frames (micro-batch boundaries and watermark handling
+must not change the matched set when no data is late past the horizon).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime
+
+from sparkstreamingflume_spark.streaming import sinks
+from sparkstreamingflume_spark.streaming.joins import interval_join
+
+SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def _rows(kind: str):
+    # clicks every 3 min per user; purchases at fixed offsets so some
+    # fall inside the 10-min attribution window and some outside
+    base = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return base.replace(minute=minute % 60, hour=10 + minute // 60)
+
+    if kind == "click":
+        return [(u, at(m), u * 100 + m) for u in (1, 2, 3) for m in (0, 3, 6, 30)]
+    return [(u, at(m), 1000 + u * 10 + m) for u in (1, 2) for m in (5, 45)]
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(_rows("click"), SCHEMA).write.parquet(clicks_dir)
+    spark.createDataFrame(_rows("buy"), SCHEMA).write.parquet(buys_dir)
+
+    batch = Counter(
+        tuple(r)
+        for r in interval_join(
+            spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir)
+        ).collect()
+    )
+    assert len(batch) > 0  # non-vacuous: some purchases attribute
+    # and selective: not every (click, purchase) pair matches
+    n_clicks, n_buys = len(_rows("click")), len(_rows("buy"))
+    assert sum(batch.values()) < n_clicks * n_buys
+
+    sc = spark.readStream.schema(SCHEMA).parquet(clicks_dir)
+    sb = spark.readStream.schema(SCHEMA).parquet(buys_dir)
+    joined = interval_join(sc, sb)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(b, _id):
+        b.write.mode("append").parquet(out)
+
+    q = sinks.start_pipeline(joined, sink, ckpt, available_now=True, query_name="t_ssj")
+    q.awaitTermination(120)
+
+    streamed = Counter(tuple(r) for r in spark.read.parquet(out).collect())
+    assert streamed == batch
+
+
+def test_stream_interval_join_state_is_watermark_bounded(spark, tmp_path):
+    """The physical streaming plan must carry watermarks on both sides
+    and a symmetric hash join with state eviction (no unbounded state)."""
+    clicks_dir, buys_dir = str(tmp_path / "c2"), str(tmp_path / "b2")
+    spark.createDataFrame(_rows("click"), SCHEMA).write.parquet(clicks_dir)
+    spark.createDataFrame(_rows("buy"), SCHEMA).write.parquet(buys_dir)
+    sc = spark.readStream.schema(SCHEMA).parquet(clicks_dir)
+    sb = spark.readStream.schema(SCHEMA).parquet(buys_dir)
+    plan = interval_join(sc, sb)._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2

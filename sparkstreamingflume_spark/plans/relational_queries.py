@@ -936,3 +936,33 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q_sketch_rollup",
+    None,  # sketch bytes are engine-specific: rows-only + pytest bounds
+    doc="Two-level mergeable-sketch rollup (DataSketches HLL): partial "
+    "sketches per (event_type, day) are hll_union_agg'd into per-type "
+    "distinct-user estimates. This is the 100 TB continuous-aggregate "
+    "maintenance pattern: fixed-size partial sketches are stored per "
+    "partition/day as data, new days re-aggregate only their own "
+    "partition, and any coarser grain (type, month, global) is a cheap "
+    "union of stored sketches — no re-scan of history, unlike exact "
+    "count-distinct whose partials are unbounded key sets. Extra + "
+    "rows-only (sketch bytes are engine-specific); "
+    "tests/test_approx.py pins the merged estimate within 5% of exact "
+    "and two-level == one-level.",
+    tags=("relational", "agg", "approx", "incremental"),
+    extra=True,
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    return partials.groupBy("event_type").agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sketch)) AS BIGINT)").alias(
+            "n_users_est"
+        ),
+        F.count("*").alias("n_partials"),
+    )

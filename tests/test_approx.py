@@ -92,3 +92,38 @@ def test_range_join_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sketch_rollup_merge_tracks_exact(spark):
+    """Two-level HLL (per-day partial sketches -> union) must track the
+    exact distinct count within 5% AND equal the single-level sketch
+    estimate exactly (union of partials loses nothing vs one pass —
+    the property that makes stored partial sketches safe to re-merge)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.session import load_table
+
+    merged = {
+        r["event_type"]: r["n_users_est"]
+        for r in REGISTRY["q_sketch_rollup"].build(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in REGISTRY["q_count_distinct"].build(spark, SF).collect()
+    }
+    one_level = {
+        r["event_type"]: r["est"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)"
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+        assert est == one_level[k], (k, est, one_level[k])

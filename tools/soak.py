@@ -8,7 +8,8 @@ the next arrives, src/StreamingSocketProcess64.scala:83).
 
 Usage: python tools/soak.py [rows_per_second] [seconds] [mode]
 mode = type61 (single-type pipeline, default) | routed (mixed 61-66
-lines through the one-pass metadata-driven router).
+lines through the one-pass metadata-driven router) | dual (routed +
+two-partner fan-out enrichment, routed_pipeline_dual — 2x output rows).
 Prints one JSON line with batch-duration percentiles and sustained rate.
 """
 
@@ -54,7 +55,7 @@ def main() -> None:
         ["map_key", "map_value"],
     ).dropDuplicates(["map_key"])
 
-    if mode == "routed":
+    if mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
         # line is materialized per row (array(make_line x6) would build
@@ -82,7 +83,12 @@ def main() -> None:
             filler,
         )
         lines = rate.select(line.alias("value"))
-        transformed = pipeline.routed_pipeline(lines, lookup, how="left")
+        if mode == "dual":
+            transformed = pipeline.routed_pipeline_dual(
+                lines, {"yaxin": lookup, "yiyang": lookup}, how="left"
+            )
+        else:
+            transformed = pipeline.routed_pipeline(lines, lookup, how="left")
     else:
         lines = rate.select(make_line("61").alias("value"))
         transformed = pipeline.process_type(
@@ -113,6 +119,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "streaming_soak",
+                "mode": mode,
                 "rows_per_second_target": rows_per_sec,
                 "trigger_s": 2,
                 "batches": len(durs),

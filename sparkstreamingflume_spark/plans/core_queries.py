@@ -578,7 +578,12 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="O3 — explicit key-clustered ordering; replaces the reference's "
     "implicit same-key-adjacency assumption "
-    "(src/ProcessSum1.scala:271,398,480) with a window rank.",
+    "(src/ProcessSum1.scala:271,398,480) with a window rank. Scale "
+    "note: row_number over whole rec_types caps parallelism at "
+    "|rec_types| (11) — acceptable here because the query certifies O3 "
+    "SEMANTICS; a 100 TB global-order-per-key pipeline would "
+    "range-partition within key (sort keys carry a bucket prefix) or "
+    "settle for per-file ordering via sortWithinPartitions.",
     tags=("setop", "O3"),
 )
 def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -966,3 +966,111 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_partials"),
     )
+
+
+@query(
+    "q_window_suite",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Ranking-window suite: ntile / percent_rank / cume_dist in one "
+    "windowed pass (unique (price, orderkey) ordering so every rank is "
+    "deterministic; ratio outputs ppm-floored — (rank-1)/(n-1) on "
+    "identical ints is bit-identical cross-engine). One shuffle on the "
+    "partition key, same scale shape as q_rank_topn_per_group. Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("relational", "window"),
+    extra=True,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1_000_000).cast("long").alias("prank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1_000_000).cast("long").alias("cume_ppm"),
+    )
+
+
+@query(
+    "q_moving_window",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_cents_10m,
+           CAST(count(*) OVER w AS BIGINT) AS n_10m,
+           CAST(floor(CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                * 1.0 / count(*) OVER w) AS BIGINT) AS avg_cents_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-range moving aggregate: per event, the same user's 10-min "
+    "trailing sum/count/avg via a RANGE frame over event-time "
+    "microseconds — the continuous per-entity rolling metric a "
+    "monitoring pipeline computes (vs q_window_sliding's global grid "
+    "windows). Exact-integer frame outputs (cents sum, count); the "
+    "average is floor(sum*1.0/count) on BOTH engines — never Spark div "
+    "vs DuckDB //, which disagree on negatives (truncate vs floor). One "
+    "shuffle on user_id; frame state per partition is bounded by the "
+    "range horizon. Extra: certified by the pytest oracle gate.",
+    tags=("relational", "window"),
+    extra=True,
+)
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    s = F.sum(cents).over(w).cast("long")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        s.alias("sum_cents_10m"),
+        n.alias("n_10m"),
+        F.floor(s * 1.0 / n).cast("long").alias("avg_cents_10m"),
+    )
+
+
+@query(
+    "q_json_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+           CAST(CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket,
+           CASE WHEN json_extract_string(props, 'k') IS NULL
+                THEN 0 ELSE 1 END AS valid
+    FROM events
+    """,
+    doc="Typed JSON extraction (P11 family): parse the semi-structured "
+    "props payload into typed columns + a validity flag — the "
+    "schema-on-read step every event pipeline fronts with. Pure "
+    "codegen'd path extraction (get_json_object), no shuffle; at scale "
+    "prefer from_json with an explicit schema so Catalyst prunes "
+    "unused JSON fields at the scan. Extra: certified by the pytest "
+    "oracle gate.",
+    tags=("relational", "transform", "json"),
+    extra=True,
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).cast("long").alias("k_bucket"),
+        F.when(k.isNull(), 0).otherwise(1).cast("int").alias("valid"),
+    )

@@ -34,9 +34,19 @@ def interval_join(
     right_ts: str = "ts",
     max_delay: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` rows to ``right`` rows with the same ``key``
-    where ``right_ts`` falls in ``[left_ts, left_ts + max_delay]``.
+    """Join ``left`` rows to ``right`` rows with the same ``key`` where
+    ``right_ts`` falls in ``[left_ts, left_ts + max_delay]``.
+
+    ``how="left_outer"`` additionally emits unmatched left rows with
+    NULL right columns — but only once the watermark passes their
+    eviction point (Spark can't know "no match will come" earlier), so
+    streamed outer results for rows near the head of the stream appear
+    in a LATER micro-batch than their data. Rows still in state when
+    the query stops never emit their null-match: outer completeness is
+    a watermark property, not a stop property
+    (tests/test_stream_join.py pins exactly this boundary).
 
     Works identically on batch frames (watermarks are no-ops there) —
     the batch twin IS this function, so equivalence tests need no
@@ -66,4 +76,4 @@ def interval_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

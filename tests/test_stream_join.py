@@ -68,3 +68,78 @@ def test_stream_interval_join_state_is_watermark_bounded(spark, tmp_path):
     sb = spark.readStream.schema(SCHEMA).parquet(buys_dir)
     plan = interval_join(sc, sb)._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_interval_left_outer_watermark_boundary(spark, tmp_path):
+    """Left-outer null-matches emit only after the watermark passes a
+    row's eviction point. Far-future sentinel rows appended LAST on both
+    streams (the global watermark is the min across sides) advance the
+    watermark past every real row, so: streamed result == batch
+    left-outer MINUS the sentinel click's own row (still in state at
+    stop, its no-match verdict not yet final)."""
+    import time as _time
+    from datetime import timedelta
+
+    clicks_dir, buys_dir = str(tmp_path / "c3"), str(tmp_path / "b3")
+    clicks = _rows("click")
+    far = clicks[0][1] + timedelta(hours=50)
+    click_sentinel = (9, far, 99999)
+    buy_sentinel = (8, far, 88888)
+    # real data first (older mtime -> processed first), sentinels last
+    spark.createDataFrame(clicks, SCHEMA).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(_rows("buy"), SCHEMA).coalesce(1).write.parquet(buys_dir)
+    _time.sleep(1.2)  # file source orders by mtime
+    spark.createDataFrame([click_sentinel], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(clicks_dir)
+    spark.createDataFrame([buy_sentinel], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(buys_dir)
+
+    batch = Counter(
+        tuple(r)
+        for r in interval_join(
+            spark.read.parquet(clicks_dir),
+            spark.read.parquet(buys_dir),
+            how="left_outer",
+        ).collect()
+    )
+    n_null_batch = sum(v for k, v in batch.items() if k[-1] is None)
+    assert n_null_batch > 1  # non-vacuous: real clicks without a purchase
+
+    sc = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        clicks_dir
+    )
+    sb = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        buys_dir
+    )
+    joined = interval_join(sc, sb, how="left_outer")
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+
+    def sink(b, _id):
+        b.write.mode("append").parquet(out)
+
+    q = sinks.start_pipeline(
+        joined, sink, ckpt, available_now=True, query_name="t_ssj_outer"
+    )
+    q.awaitTermination(180)
+    # second availableNow pass on the same checkpoint: the final watermark
+    # commit evicts matured state and emits its null-matches (outer
+    # emission can trail the data batch by one)
+    q2 = sinks.start_pipeline(
+        interval_join(
+            spark.readStream.schema(SCHEMA).parquet(clicks_dir),
+            spark.readStream.schema(SCHEMA).parquet(buys_dir),
+            how="left_outer",
+        ),
+        sink,
+        ckpt,
+        available_now=True,
+        query_name="t_ssj_outer2",
+    )
+    q2.awaitTermination(180)
+
+    streamed = Counter(tuple(r) for r in spark.read.parquet(out).collect())
+    expected = batch.copy()
+    del expected[(9, far, 99999, None, None, None)]  # sentinel still in state
+    assert streamed == expected

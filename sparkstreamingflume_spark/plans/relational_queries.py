@@ -1074,3 +1074,48 @@ def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).cast("long").alias("k_bucket"),
         F.when(k.isNull(), 0).otherwise(1).cast("int").alias("valid"),
     )
+
+
+@query(
+    "q_subqueries",
+    """
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+           CASE WHEN o.o_totalprice >
+                     (SELECT avg(o_totalprice) FROM orders) THEN 1 ELSE 0
+           END AS above_avg,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_lines
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="Scalar + correlated subqueries: a scalar aggregate subquery "
+    "(global average price, computed once and broadcast as a literal) "
+    "and a correlated count subquery that Catalyst decorrelates into a "
+    "left outer aggregate join on o_orderkey — the rewrite that makes "
+    "per-row subqueries scale (one shuffle join, never a per-row "
+    "re-scan). The avg comparison stays a flag (not an output value) "
+    "so cross-engine double drift in avg() can't leak into the hash; "
+    "the synthetic prices make the flag itself drift-safe. Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("relational", "subquery"),
+    extra=True,
+)
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("sq_orders")
+    li.createOrReplaceTempView("sq_lineitem")
+    return o.sparkSession.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+               CASE WHEN o.o_totalprice >
+                         (SELECT avg(o_totalprice) FROM sq_orders) THEN 1 ELSE 0
+               END AS above_avg,
+               (SELECT count(*) FROM sq_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM sq_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        """
+    )

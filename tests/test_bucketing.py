@@ -70,3 +70,28 @@ def test_bucketed_join_results_match_unbucketed(spark, warehouse):
         .collect()
     )
     assert bucketed == plain
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Date-partitioned layout (the K7/P13 sink shape) must turn a date
+    filter into PARTITION pruning on read: the scan lists only matching
+    dt= directories — at 100 TB this is the difference between reading
+    one day and reading the lake."""
+    from sparkstreamingflume_spark.session import load_table
+
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.select(
+        "event_id", "user_id", "value", F.date_format("ts", "yyyyMMdd").alias("dt")
+    ).write.partitionBy("dt").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("dt") == "20240101")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.split("\n") if "FileScan" in ln)
+    part_filters = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dt" in part_filters and "20240101" in part_filters, scan
+    # and the pruned read returns exactly that day's rows
+    n_day = one_day.count()
+    n_all = back.count()
+    assert 0 < n_day < n_all

@@ -970,19 +970,22 @@ _CAND_CTES = f"""
     SELECT doc_id, cluster_id FROM clusters
     """,
     doc="Dedup clustering: near-dup candidate pairs (MinHash LSH) as an "
-    "undirected graph, connected components via iterative label "
-    "propagation (extensions/graph.py — O(diameter) join+min-agg "
-    "rounds with per-round lineage truncation, raising on "
-    "non-convergence; oracle uses a recursive CTE). The component IS "
+    "undirected graph, connected components via pointer-doubling label "
+    "propagation (extensions/graph.py connected_components_fast — "
+    "O(log n) rounds of join+shortcut+min-agg with per-round lineage "
+    "truncation, raising on non-convergence; oracle uses a recursive "
+    "CTE). The component IS "
     "the dedup unit at scale: transitive near-dups collapse together "
     "even when pairwise LSH missed an edge.",
     tags=("dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkstreamingflume_spark.extensions.graph import connected_components
+    from sparkstreamingflume_spark.extensions.graph import (
+        connected_components_fast,
+    )
 
     pairs = q_dedup_minhash(spark, sf_dir)
-    return connected_components(pairs).select(
+    return connected_components_fast(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 
@@ -1576,4 +1579,52 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.expr(f"(cum - n_tok) div {PACK_MAX_TOKENS}").cast("long").alias("seq_no"),
         (start % PACK_MAX_TOKENS).cast("long").alias("seq_offset"),
+    )
+
+
+@query(
+    "q_profile",
+    f"""
+    SELECT count(*) AS n_rows,
+           count(doc_id) AS nn_doc_id,
+           count(text) AS nn_text,
+           count(lang) AS nn_lang,
+           count(source) AS nn_source,
+           count(DISTINCT lang) AS d_lang,
+           count(DISTINCT source) AS d_source,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN len({_TOK}) < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short_docs
+    FROM documents
+    """,
+    doc="Single-pass dataset profile: row count, per-column non-null "
+    "counts, key-column distinct counts, numeric min/max/sum, and a "
+    "short-doc anomaly counter — the data-quality snapshot every "
+    "ingestion run records before anything downstream trusts the batch "
+    "(null-rate spikes and cardinality drift are the first schema-drift "
+    "signals). All measures are algebraic or two-phase distinct: ONE "
+    "combinable aggregation, |1|-row output, no second scan. At 100 TB "
+    "swap exact distincts for HLL sketches (q_sketch_rollup) — same "
+    "query shape. Extra: certified by the pytest oracle gate.",
+    tags=("text", "pipeline", "profile"),
+    extra=True,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count("doc_id").alias("nn_doc_id"),
+        F.count("text").alias("nn_text"),
+        F.count("lang").alias("nn_lang"),
+        F.count("source").alias("nn_source"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.when(F.size(tokens("text")) < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short_docs"),
     )

@@ -200,3 +200,36 @@ def test_no_python_row_path_or_cartesian_anywhere(spark):
         )
         assert "EvalPython" not in plan, f"{name} has a Python row path"
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_connected_components_fast_pointer_doubling(spark):
+    """The pointer-doubling variant must converge in ~log2(diameter)
+    rounds (max_iter=6 for an 11-edge path — the plain propagator needs
+    12+) and agree with the plain variant on a mixed graph."""
+    from sparkstreamingflume_spark.extensions.graph import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.node: r.cluster_id
+        for r in connected_components_fast(path, max_iter=6).collect()
+    }
+    assert labels == {i: 0 for i in range(12)}
+
+    # mixed graph: a path, a triangle, an isolated edge
+    edges = [(i, i + 1) for i in range(20, 26)] + [
+        (1, 2), (2, 3), (3, 1), (40, 41),
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r.node: r.cluster_id
+        for r in connected_components_fast(df, max_iter=8).collect()
+    }
+    slow = {
+        r.node: r.cluster_id for r in connected_components(df, max_iter=30).collect()
+    }
+    assert fast == slow

@@ -107,3 +107,38 @@ def windowed_counts(
         .agg(F.count("*").alias("n"))
         .select("w.start", "w.end", "n")
     )
+
+
+def upsert_rollup(
+    batch: DataFrame, path: str, partition_cols: tuple[str, ...] = ("day",)
+) -> None:
+    """Continuous-aggregate maintenance: merge a micro-batch of UPDATED
+    rollup rows into a partitioned parquet materialized view.
+
+    Used with an update-mode streaming aggregation: each batch's rows
+    are complete current totals for the groups they touch (the state
+    store holds the running aggregate), so overwriting exactly the
+    affected partitions — dynamic partitionOverwriteMode — replaces
+    stale totals and leaves untouched partitions alone. Idempotent per
+    batch: replaying a batch rewrites the same partitions with the same
+    totals, so checkpoint-recovery duplicates are harmless (the K2
+    dir-append contract would double-count; an upsert must not).
+
+    The partition columns must functionally determine the aggregation
+    group (here: one group per partition value set) — the overwrite
+    unit is the partition directory. At 100 TB the same pattern runs
+    per (day, hour) with the hour grain feeding coarser grains
+    (q_time_rollup) and sketch columns (q_sketch_rollup) keeping
+    distinct counts mergeable.
+    """
+    spark = batch.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

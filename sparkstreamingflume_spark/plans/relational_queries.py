@@ -1119,3 +1119,45 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
         """
     )
+
+
+@query(
+    "q_histogram",
+    """
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 25
+                     ELSE floor(o_totalprice / 25000.0) + 1 END AS BIGINT)
+               AS bucket,
+           count(*) AS n,
+           CAST(min(floor(o_totalprice * 100)) AS BIGINT) AS min_cents,
+           CAST(max(floor(o_totalprice * 100)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Value-distribution histogram: order totals binned into 24 "
+    "fixed-width [0, 600000) buckets (+ the two SQL-standard overflow "
+    "buckets 0/25) with per-bucket count/min/max — the distribution "
+    "profile behind skew diagnosis and quality monitoring. The "
+    "width_bucket formula is spelled out identically on both engines "
+    "(floor(x / width) + 1 with edge guards; DuckDB 1.0 has no "
+    "width_bucket builtin, and Spark's builtin divides in a different "
+    "order — same-expression-both-sides is the only drift-proof form). "
+    "One combinable aggregate, |buckets|-row output. Extra: certified "
+    "by the pytest oracle gate.",
+    tags=("relational", "agg", "profile"),
+    extra=True,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0, 0)
+        .when(F.col("o_totalprice") >= 600000, 25)
+        .otherwise(F.floor(F.col("o_totalprice") / 25000.0) + 1)
+    )
+    return (
+        o.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("min_cents"),
+            F.max(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
+        )
+    )

@@ -41,11 +41,17 @@ def line_fields(line: Column | str, sep: str = "|") -> Column:
     are dropped (the reference's GPRS sample line ends in ``|`` and still
     splits to 44 fields, src/DesenPross.scala:181). Spark's ``split`` uses
     limit=-1 (keeps trailing empties), so we strip the trailing separator
-    run first. DuckDB oracles must apply the same
-    ``regexp_replace(line, '<sep>+$', '')`` normalization.
+    run first. The strip anchors on ``\\z`` (Java end-of-input), NOT ``$``:
+    Java-regex ``$`` also matches *before* a final line terminator, so a
+    CR/CRLF-terminated record (``'a|b|\\r'`` — the normal case for a CDR
+    feed read off FTP/socket) would mis-split under ``$`` (the trailing
+    ``|`` is deleted and ``\\r`` merges into the prior field; Scala
+    ``split`` keeps it as its own field). DuckDB oracles apply
+    ``regexp_replace(line, '<sep>+$', '')`` — RE2's ``$`` is already
+    end-of-text, so both engines implement the same semantics.
     """
     sep_re = re.escape(sep)
-    return F.split(F.regexp_replace(_col(line), f"{sep_re}+$", ""), sep_re)
+    return F.split(F.regexp_replace(_col(line), f"{sep_re}+\\z", ""), sep_re)
 
 
 def field_extract(line: Column | str, index: int, sep: str = "|") -> Column:

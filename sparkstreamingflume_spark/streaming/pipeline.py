@@ -100,8 +100,10 @@ def process_type(
     import re as _re
 
     sep_re = _re.escape(rt.sep)
+    # \z (end-of-input), not $: Java $ matches before a final \r, which
+    # would swallow the separator on CRLF-terminated records (lines.py).
     arr0 = F.split(
-        F.regexp_replace(F.col("value"), f"{sep_re}+$", ""), sep_re
+        F.regexp_replace(F.col("value"), f"{sep_re}+\\z", ""), sep_re
     )
     with_arr = df.withColumn("_arr", arr0)
     conformed = with_arr.filter(F.size("_arr") == rt.n_fields)
@@ -152,7 +154,7 @@ def _routed_masked(df: DataFrame) -> tuple[DataFrame, str, F.Column, F.Column]:
     sep = types[0][1].sep  # all six socket types are comma-delimited
     routed = route(df).filter(F.col("rec_type").isin(*[p for p, _ in types]))
     rt_col = F.col("rec_type")
-    arr = F.split(F.regexp_replace(F.col("value"), f"{sep}+$", ""), sep)
+    arr = F.split(F.regexp_replace(F.col("value"), f"{sep}+\\z", ""), sep)
     with_arr = routed.withColumn("_arr", arr).filter(
         F.size("_arr") == F.element_at(m_nf, rt_col)
     )

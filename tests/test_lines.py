@@ -63,6 +63,10 @@ EDGE_LINES = [
     "|".join(f"f{i}" for i in range(44)),  # clean GPRS width
     "|".join(f"f{i}" for i in range(44)) + "|",  # 44 + trailing sep
     "|".join(f"f{i}" for i in range(7)),  # short/dirty
+    "a|b|\r",  # CR-terminated: \r is its own field, | before it stays
+    "a|b|\r\n",  # CRLF-terminated
+    "|\r",  # minimal hypothesis counterexample from round 3
+    "a|b\r",  # CR glued to last field (no trailing sep to strip)
 ]
 
 

@@ -192,6 +192,75 @@ def test_socket_source_roundtrip(spark, lookup):
         srv.close()
 
 
+def _crlf_corpus() -> list[str]:
+    """Records that arrive with a trailing CR, two of them with an empty
+    last field so the raw line ends ``,\\r`` — the shape that mis-split
+    under the old Java-regex ``$`` trailing-separator strip."""
+    lines = [make_line("61", i) for i in range(8)]
+    for k in (2, 5):
+        fields = lines[k].split(",")
+        fields[-1] = ""
+        lines[k] = ",".join(fields)
+    return [ln + "\r" for ln in lines]
+
+
+def test_batch_pipeline_crlf_records_conform(spark, lookup):
+    """The fused one-pass router (pipeline.py fused split — a separate
+    code path from functions/lines.py) must conform CR-terminated records:
+    Java/Scala split keeps the ``\\r`` as (part of) the last field, so the
+    field count is unchanged and no record is dropped as dirty.
+    Reference: the Flume event body keeps raw CR bytes
+    (src/StreamingSocketProcess.scala:124 reads raw lines)."""
+    cr_lines = _crlf_corpus()
+    df = spark.createDataFrame([(ln,) for ln in cr_lines], ["value"])
+    rows = pipeline.routed_pipeline(df, lookup, how="left").collect()
+    assert len(rows) == len(cr_lines)  # every CRLF record conformed
+    # the ',\r' records: \r occupies the (empty) last field slot
+    ends = sorted(r.value.split(",")[-1] for r in rows)
+    assert ends.count("\r") == 2
+
+
+def test_flume_json_crlf_stream_equals_batch(spark, tmp_path, lookup):
+    """CRLF ingestion end-to-end (round-3 verdict task 7). Spark's socket
+    and text-file sources strip CRLF at the line reader, so the carrier
+    where CR bytes actually survive into ``value`` is a Flume-style event
+    body in a JSON envelope (S1/S3). Streamed route→conform→mask→enrich
+    output must equal the batch pipeline's multiset on the same
+    CR-suffixed values."""
+    import json
+
+    cr_lines = _crlf_corpus()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(2):
+        chunk = cr_lines[i::2]
+        (landing / f"part{i}.json").write_text(
+            "\n".join(json.dumps({"value": ln}) for ln in chunk) + "\n"
+        )
+
+    stream = spark.readStream.schema("value STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    transformed = pipeline.routed_pipeline(stream, lookup, how="left")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = sinks.start_pipeline(
+        transformed, sink, ckpt, available_now=True, query_name="t_crlf"
+    )
+    q.awaitTermination(120)
+
+    df = spark.createDataFrame([(ln,) for ln in cr_lines], ["value"])
+    expect = Counter(
+        tuple(r) for r in pipeline.routed_pipeline(df, lookup, how="left").collect()
+    )
+    got = read_counter(spark, out)
+    assert got == expect
+    assert sum(got.values()) == len(cr_lines)
+
+
 def test_flume_pipeline_masks_and_partitions(spark, tmp_path):
     """Entry point #1 (Flume): keyed (filename, value) GPRS records ->
     mask fields 0,1,2,7 -> per-filename dirs (K7 + A2 grouping)."""

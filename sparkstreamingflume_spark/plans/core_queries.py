@@ -581,9 +581,8 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(src/ProcessSum1.scala:271,398,480) with a window rank. Scale "
     "note: row_number over whole rec_types caps parallelism at "
     "|rec_types| (11) — acceptable here because the query certifies O3 "
-    "SEMANTICS; a 100 TB global-order-per-key pipeline would "
-    "range-partition within key (sort keys carry a bucket prefix) or "
-    "settle for per-file ordering via sortWithinPartitions.",
+    "SEMANTICS; the 100 TB form is q_cluster_sort_bucketed, which "
+    "range-partitions within key (sort keys carry a bucket prefix).",
     tags=("setop", "O3"),
 )
 def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +594,52 @@ def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("rec_type").orderBy("l_orderkey", "l_linenumber", "line")
     return df.select(
         "rec_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        "line",
+    )
+
+
+# Bucket width for q_cluster_sort_bucketed: orderkey range bands. At sf0.001
+# (~6k max orderkey) this yields ~12 buckets/type; bucket count grows
+# linearly with SF, which is exactly the point.
+_SORT_BUCKET_W = 500
+
+
+@query(
+    "q_cluster_sort_bucketed",
+    f"""
+    WITH {LINES_CTE}
+    SELECT rec_type,
+           CAST(floor(l_orderkey / {_SORT_BUCKET_W}.0) AS BIGINT) AS bucket,
+           CAST(row_number() OVER (
+                    PARTITION BY rec_type, floor(l_orderkey / {_SORT_BUCKET_W}.0)
+                    ORDER BY l_orderkey, l_linenumber, line) AS BIGINT) AS rn,
+           line
+    FROM lines
+    """,
+    doc="O3 at 100 TB — the range-bucketed form q_cluster_sort's docstring "
+    "promises: the leading sort key is banded into fixed-width ranges "
+    "and row_number runs within (rec_type, bucket), so sort parallelism "
+    "is |rec_types| x |buckets| (grows with data) instead of "
+    "|rec_types| (fixed at 11). Because the bucket is a RANGE partition "
+    "of the leading sort key, (bucket ASC, rn ASC) reconstructs the "
+    "exact global per-type order — pinned against q_cluster_sort by "
+    "tests/test_contract.py, which also asserts the window exchange "
+    "hashes on both columns. Extra: how-variant of q_cluster_sort.",
+    tags=("setop", "O3", "scale"),
+    extra=True,
+)
+def q_cluster_sort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = _cdr_lines(spark, sf_dir)
+    bucket = F.floor(F.col("l_orderkey") / _SORT_BUCKET_W).cast("long")
+    w = Window.partitionBy("rec_type", "bucket").orderBy(
+        "l_orderkey", "l_linenumber", "line"
+    )
+    return df.withColumn("bucket", bucket).select(
+        "rec_type",
+        "bucket",
         F.row_number().over(w).cast("long").alias("rn"),
         "line",
     )

@@ -1,8 +1,10 @@
 """Approximate aggregates: estimates must track the exact answers.
 
-The approx queries have no DuckDB oracle (sketches are engine-specific),
-so their accuracy contract lives here instead: HLL++ within 5% of exact
-distinct counts, approx_percentile within 1% of exact percentiles.
+Since round 4 the approx queries emit exact aggregates + Spark-computed
+tolerance booleans (oracle: exact values + literal TRUE), so the driver
+hash certifies the tolerance cross-engine. These tests pin the RAW
+estimates independently (computed inline), so a broken tolerance
+expression inside a query can't mask a drifting sketch.
 """
 
 from __future__ import annotations
@@ -11,35 +13,54 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_count_distinct_tracks_exact(spark):
-    from sparkstreamingflume_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
 
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.session import load_table
+
+    rows = REGISTRY["q_approx_count_distinct"].build(spark, SF).collect()
+    assert rows and all(r["hll_within_5pct"] for r in rows)
     approx = {
-        r["event_type"]: r["n_users_approx"]
-        for r in REGISTRY["q_approx_count_distinct"].build(spark, SF).collect()
+        r["event_type"]: r["est"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("est"))
+        .collect()
     }
-    exact = {
-        r["event_type"]: r["n_users"]
-        for r in REGISTRY["q_count_distinct"].build(spark, SF).collect()
-    }
+    exact = {r["event_type"]: r["n_users"] for r in rows}
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
 
 
 def test_approx_percentile_tracks_exact(spark):
-    from sparkstreamingflume_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
 
-    approx = {
-        r["l_returnflag"]: r["p_approx"]
-        for r in REGISTRY["q_approx_percentile"].build(spark, SF).collect()
-    }
-    exact = {
-        r["l_returnflag"]: (r["p50_cents"] / 100.0, r["p95_cents"] / 100.0)
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.session import load_table
+
+    rows = REGISTRY["q_approx_percentile"].build(spark, SF).collect()
+    assert rows and all(r["p50_within_1pct"] and r["p95_within_1pct"] for r in rows)
+    # exact percentiles in the query must equal q_percentile's (same form)
+    got = {r["l_returnflag"]: (r["p50_cents"], r["p95_cents"]) for r in rows}
+    ref = {
+        r["l_returnflag"]: (r["p50_cents"], r["p95_cents"])
         for r in REGISTRY["q_percentile"].build(spark, SF).collect()
     }
-    assert set(approx) == set(exact)
+    assert got == ref
+    approx = {
+        r["l_returnflag"]: r["p"]
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+            ).alias("p")
+        )
+        .collect()
+    }
     for k, (a50, a95) in approx.items():
-        e50, e95 = exact[k]
+        e50, e95 = ref[k][0] / 100.0, ref[k][1] / 100.0
         assert abs(a50 - e50) <= 0.01 * e50, (k, a50, e50)
         assert abs(a95 - e95) <= 0.01 * e95, (k, a95, e95)
 
@@ -104,18 +125,27 @@ def test_sketch_rollup_merge_tracks_exact(spark):
     from sparkstreamingflume_spark.plans import REGISTRY
     from sparkstreamingflume_spark.session import load_table
 
+    rows = REGISTRY["q_sketch_rollup"].build(spark, SF).collect()
+    assert rows and all(r["est_within_5pct"] for r in rows)
+    exact = {r["event_type"]: r["n_users"] for r in rows}
+    ev = load_table(spark, SF, "events")
     merged = {
-        r["event_type"]: r["n_users_est"]
-        for r in REGISTRY["q_sketch_rollup"].build(spark, SF).collect()
-    }
-    exact = {
-        r["event_type"]: r["n_users"]
-        for r in REGISTRY["q_count_distinct"].build(spark, SF).collect()
+        r["event_type"]: r["est"]
+        for r in ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(sketch)) AS BIGINT)"
+            ).alias("est")
+        )
+        .collect()
     }
     one_level = {
         r["event_type"]: r["est"]
-        for r in load_table(spark, SF, "events")
-        .groupBy("event_type")
+        for r in ev.groupBy("event_type")
         .agg(
             F.expr(
                 "CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)"

@@ -233,3 +233,33 @@ def test_connected_components_fast_pointer_doubling(spark):
         r.node: r.cluster_id for r in connected_components(df, max_iter=30).collect()
     }
     assert fast == slow
+
+
+def test_cluster_sort_bucketed_reconstructs_global_order(spark):
+    """The range-bucketed O3 variant must (a) reconstruct q_cluster_sort's
+    exact per-type global order via (bucket ASC, rn ASC), and (b) hash
+    the window exchange on BOTH (rec_type, bucket) so sort parallelism
+    exceeds |rec_types|."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    bucketed = REGISTRY["q_cluster_sort_bucketed"].build(spark, sf)
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(rec_type" in plan and "bucket" in plan.split(
+        "hashpartitioning(rec_type", 1
+    )[1].split(")")[0], plan
+
+    rows = bucketed.collect()
+    n_buckets = len({r.bucket for r in rows})
+    assert n_buckets > 1  # parallelism genuinely exceeds |rec_types|
+
+    # concatenating buckets in order == the single-window global order
+    by_type_bucketed: dict = {}
+    for r in sorted(rows, key=lambda r: (r.rec_type, r.bucket, r.rn)):
+        by_type_bucketed.setdefault(r.rec_type, []).append(r.line)
+    glob = REGISTRY["q_cluster_sort"].build(spark, sf).collect()
+    by_type_global: dict = {}
+    for r in sorted(glob, key=lambda r: (r.rec_type, r.rn)):
+        by_type_global.setdefault(r.rec_type, []).append(r.line)
+    assert by_type_bucketed == by_type_global

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.plans import REGISTRY
+from sparkstreamingflume_spark.plans import window_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,20 +52,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per certified operator (SURVEY.md §2 + §7.5 extensions).
 
-    Exactly the <=50 primary registry entries (the driver certifies at
-    most 50 per round). Registry extras — how-variants and strict
-    subsets of primaries — stay oracle-certified by
-    tests/test_oracle_extras.py and tools/validate.py.
+    The driver certifies at most 50 entries per round, so the registry's
+    87 queries rotate through a per-round certification window
+    (plans/registry.py CERT_WINDOW — round 4 exposes the 37 queries
+    never driver-certified in rounds 1-3 plus regression anchors).
+    Queries outside the window stay cross-engine-certified by
+    tests/test_oracle_extras.py and tools/validate.py, and every query
+    has a green row in some CORRECTNESS_r*.json. window_queries()
+    hard-raises (survives python -O) if the window oversizes or names
+    an unknown query.
     """
-    prim = {name: q.build for name, q in REGISTRY.items() if not q.extra}
-    assert len(prim) <= 50, f"{len(prim)} primary queries exceed the 50-entry gate"
-    return prim
+    return {name: q.build for name, q in window_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle statement per query (omitted => rows-only check)."""
     return {
         name: q.oracle
-        for name, q in REGISTRY.items()
-        if q.oracle is not None and not q.extra
+        for name, q in window_queries().items()
+        if q.oracle is not None
     }

@@ -5,10 +5,12 @@ Importing this package populates the registry from all query modules;
 """
 
 from sparkstreamingflume_spark.plans.registry import (  # noqa: F401
+    CERT_WINDOW,
     REGISTRY,
     Query,
     primary_queries,
     query,
+    window_queries,
 )
 
 # Import for registration side effects. Relational first: the driver

@@ -72,3 +72,94 @@ def query(
 def primary_queries() -> dict[str, Query]:
     """The driver-certified surface (must stay <=50 entries)."""
     return {n: q for n, q in REGISTRY.items() if not q.extra}
+
+
+# ---------------------------------------------------------------------------
+# Per-round driver certification window.
+#
+# The driver certifies at most 50 queries()/oracle_sql() entries per round,
+# but the registry holds 87. Rather than burning the same 50 slots every
+# round, the window ROTATES: rounds 1-3 banked green CORRECTNESS rows for
+# the original 50 primaries, so round 4's window exposes the 37 queries
+# never driver-certified (all now oracle-backed), q_approx_aggs (primary
+# since r2 but rows-only until its tolerance oracle landed this round),
+# and 12 regression anchors re-certifying this round's code changes (the
+# line-op \z fix, the candidates-verified oracle hashing) plus the bench
+# headliners. Queries OUTSIDE the window stay cross-engine-certified every
+# run by tools/validate.py and tests/test_oracle_extras.py (same compare).
+# ---------------------------------------------------------------------------
+
+CERT_WINDOW: tuple[str, ...] = (
+    # -- never driver-certified before round 4 ------------------------------
+    "q_anti_join",
+    "q_approx_count_distinct",
+    "q_approx_percentile",
+    "q_contamination",
+    "q_count",
+    "q_count_by_type_salted",
+    "q_cube",
+    "q_data_mix",
+    "q_date_bucket",
+    "q_dedup_embed_cosine_bruteforce",
+    "q_dedup_simhash",
+    "q_dirty_filter",
+    "q_distinct",
+    "q_embed_ivf",
+    "q_enrich_join_salted",
+    "q_except",
+    "q_fanout_dup",
+    "q_field_drop",
+    "q_histogram",
+    "q_intersect",
+    "q_json_typed",
+    "q_lag_delta",
+    "q_md5_mask",
+    "q_moving_window",
+    "q_pii_scrub",
+    "q_profile",
+    "q_rollup",
+    "q_sample_stratified",
+    "q_semi_join",
+    "q_seq_pack",
+    "q_sketch_rollup",
+    "q_subqueries",
+    "q_text_normalize",
+    "q_token_count",
+    "q_topk",
+    "q_window_suite",
+    "q_cluster_sort_bucketed",  # new this round (scale-safe O3)
+    # -- primary since r2 but never green (tolerance oracle landed r4) ------
+    "q_approx_aggs",
+    # -- regression anchors: re-certify this round's changes + headliners ---
+    "q_field_extract",
+    "q_md5_mask_multi",
+    "q_project_44to10",
+    "q_gprs_pipeline",
+    "q_dedup_candidates_verified",
+    "q_dedup_ngram_jaccard",
+    "q_tpch_q1",
+    "q_broadcast_join",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_embed_topk",
+    "q_corpus_prep",
+)
+
+
+def window_queries() -> dict[str, Query]:
+    """The <=50 registry entries exposed to the driver this round.
+
+    Hard-raises (not assert — survives ``python -O``) on an oversized
+    window or a name that doesn't resolve, so a bad rotation fails at
+    import time in the driver, not as a silent certification gap.
+    """
+    if len(CERT_WINDOW) > 50:
+        raise RuntimeError(
+            f"certification window has {len(CERT_WINDOW)} entries; driver cap is 50"
+        )
+    if len(set(CERT_WINDOW)) != len(CERT_WINDOW):
+        raise RuntimeError("certification window contains duplicates")
+    missing = [n for n in CERT_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"certification window names not in registry: {missing}")
+    return {n: REGISTRY[n] for n in CERT_WINDOW}

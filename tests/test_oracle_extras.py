@@ -1,11 +1,11 @@
-"""Oracle gate for registry extras.
+"""Oracle gate for registry queries outside the driver window.
 
-The driver certifies at most 50 ``queries()`` entries per round, so the
-registry's ``extra=True`` queries (how-variants and strict subsets of
-primary queries — see each decorator's doc) are excluded from the driver
-window. This test keeps every one of them cross-engine-certified anyway:
-same comparison as the driver (row count + sorted schema + type-tagged
-order-insensitive value hash, oracle fetched through Arrow) at sf0.001.
+The driver certifies at most 50 ``queries()`` entries per round, and the
+window ROTATES (plans/registry.py CERT_WINDOW), so in any given round
+most registry queries are outside it. This test keeps every one of them
+cross-engine-certified anyway: same comparison as the driver (row count
++ sorted schema + type-tagged order-insensitive value hash, oracle
+fetched through Arrow) at sf0.001.
 """
 
 from __future__ import annotations
@@ -14,11 +14,11 @@ import duckdb
 import pytest
 
 from sparkstreamingflume_spark.oracle import compare, duck_fetch, register_views
-from sparkstreamingflume_spark.plans import REGISTRY
+from sparkstreamingflume_spark.plans import CERT_WINDOW, REGISTRY
 
 SF_DIR = "/root/testdata/sf0.001"
 
-EXTRAS = sorted(n for n, q in REGISTRY.items() if q.extra)
+OUTSIDE_WINDOW = sorted(set(REGISTRY) - set(CERT_WINDOW))
 
 
 @pytest.fixture(scope="module")
@@ -29,20 +29,23 @@ def duck():
     con.close()
 
 
-def test_extras_are_strict_subset_of_registry():
-    assert len(EXTRAS) > 0
-    assert len(EXTRAS) + sum(1 for q in REGISTRY.values() if not q.extra) == len(
-        REGISTRY
-    )
+def test_window_is_valid_and_covers_registry():
+    from sparkstreamingflume_spark.plans import window_queries
+
+    win = window_queries()  # raises on oversize/unknown names
+    assert len(win) <= 50
+    assert len(OUTSIDE_WINDOW) + len(win) == len(REGISTRY)
+    # every window entry this round must be oracle-backed (50/50 green goal)
+    assert all(q.oracle is not None for q in win.values())
 
 
-@pytest.mark.parametrize("name", EXTRAS)
-def test_extra_matches_oracle(spark, duck, name):
+@pytest.mark.parametrize("name", OUTSIDE_WINDOW)
+def test_outside_window_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     sdf = q.build(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
-        # rows-only extras (engine-specific sketches); value bounds are
+        # rows-only queries (engine-specific outputs); value bounds are
         # pinned by tests/test_approx.py
         assert len(srows) > 0
         return

@@ -822,7 +822,11 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND a.doc_id < b.doc_id
     ),
     shd AS (
-        SELECT doc_id, unnest(list_distinct({_SH})) AS shingle FROM documents
+        -- hash like the Spark side (h32 join keys) so a 2^-32 cross-doc
+        -- shingle collision is IDENTICAL cross-engine instead of a
+        -- Spark-only n_common bump (mirrors q_dedup_ngram_jaccard)
+        SELECT doc_id, {h32_sql('s')} AS shingle
+        FROM (SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM documents)
     ),
     card AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
     common AS (

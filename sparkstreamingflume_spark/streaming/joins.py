@@ -51,8 +51,22 @@ def interval_join(
     Works identically on batch frames (watermarks are no-ops there) —
     the batch twin IS this function, so equivalence tests need no
     second implementation. Column names are prefixed ``l_``/``r_`` in
-    the output to keep the join self-describing.
+    the output to keep the join self-describing; raises ``ValueError``
+    if the prefixed names would collide (e.g. an input already has an
+    ``l_key`` column), rather than emitting ambiguous duplicates.
     """
+    for side, df, k, ts in (("left", left, key, left_ts), ("right", right, key, right_ts)):
+        p = side[0]
+        out = [f"{p}_key", f"{p}_ts"] + [
+            f"{p}_{c}" for c in df.columns if c not in (k, ts)
+        ]
+        dupes = sorted({c for c in out if out.count(c) > 1})
+        if dupes:
+            raise ValueError(
+                f"interval_join: {side} side produces duplicate output "
+                f"columns after {p}_ prefixing: {dupes}; rename the "
+                f"offending input columns"
+            )
     lw = left.withWatermark(left_ts, watermark).select(
         F.col(key).alias("l_key"),
         F.col(left_ts).alias("l_ts"),

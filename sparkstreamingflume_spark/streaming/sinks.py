@@ -131,14 +131,13 @@ def upsert_rollup(
     (q_time_rollup) and sketch columns (q_sketch_rollup) keeping
     distinct counts mergeable.
     """
-    spark = batch.sparkSession
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            batch.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    # Per-write option, NOT a session-conf toggle: mutating the session
+    # conf around the write would leak dynamic-overwrite semantics into
+    # any concurrent query sharing the SparkSession (or race with a
+    # second upsert stream's save/restore).
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

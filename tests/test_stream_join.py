@@ -143,3 +143,23 @@ def test_stream_interval_left_outer_watermark_boundary(spark, tmp_path):
     expected = batch.copy()
     del expected[(9, far, 99999, None, None, None)]  # sentinel still in state
     assert streamed == expected
+
+
+def test_interval_join_rejects_prefix_collision(spark):
+    """An input column that already carries the l_/r_ prefix would produce
+    ambiguous duplicate output names — must raise, not emit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # a column literally named "key" prefixes to l_key — colliding with
+    # the join-key output slot (same for a stray "ts" on the right side)
+    clash = base.withColumn("key", F.col("user_id"))
+    with pytest.raises(ValueError, match="l_key"):
+        interval_join(clash, base)
+    with pytest.raises(ValueError, match="r_key"):
+        interval_join(base, clash)
+    # clean inputs still work
+    assert interval_join(base, base).columns[0] == "l_key"

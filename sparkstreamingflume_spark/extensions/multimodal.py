@@ -5,11 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched Pandas functions over ``mapInPandas`` — the only sane
 Python hot path (vectorized batches, not per-row pickling).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-``decode_image_real`` raises ``NotImplementedError`` by design; the
-deterministic fake (``decode_image_fake``) derives plausible metadata
-from the payload digest so the Spark-side plumbing — schema, batch
-iteration, partition behavior — is real and tested end to end.
+Pixel-level codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+but header METADATA needs no codec: ``decode_image_real`` is a pure
+struct-unpack parser for PNG/APNG, JPEG, and GIF containers (width,
+height, frame count from the format's own header fields). The
+deterministic fake (``decode_image_fake``) remains for payloads that
+are not real images (the synthetic corpus), so the Spark-side plumbing
+— schema, batch iteration, partition behavior — is exercised either
+way; both paths return the same ``(width, height, n_frames)`` shape.
 
 Scale posture: mapInPandas streams Arrow batches; memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, payload columns are
@@ -20,6 +23,7 @@ parallel over input partitions.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -46,12 +50,88 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — requires PIL/libvips, absent in this container."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "swap in PIL.Image.open at deployment"
-    )
+def _png_meta(b: bytes) -> tuple[int, int, int]:
+    # IHDR is mandatory-first: width/height are big-endian uint32 at 16..24.
+    w, h = struct.unpack(">II", b[16:24])
+    # APNG: an acTL chunk (before the first IDAT) carries num_frames.
+    n_frames, pos = 1, 8
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        if ctype == b"acTL" and pos + 12 <= len(b):
+            n_frames = struct.unpack(">I", b[pos + 8 : pos + 12])[0]
+            break
+        if ctype in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length  # len + type + data + crc
+    return w, h, n_frames
+
+
+def _jpeg_meta(b: bytes) -> tuple[int, int, int]:
+    # Walk marker segments to the first SOFn frame header.
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+            pos += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return w, h, 1
+        pos += 2 + struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+    raise ValueError("JPEG: no SOF frame header found")
+
+
+def _gif_meta(b: bytes) -> tuple[int, int, int]:
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    while pos < len(b):
+        introducer = b[pos]
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif introducer == 0x2C:  # image descriptor
+            n_frames += 1
+            lpacked = b[pos + 9]
+            pos += 10
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW min code size
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        else:
+            raise ValueError(f"GIF: unknown block introducer 0x{introducer:02x}")
+    return w, h, max(1, n_frames)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Header-metadata decoder for real image bytes — no codec library
+    needed: width/height/frame-count live in fixed struct fields of the
+    PNG (+APNG acTL), JPEG (SOFn), and GIF (logical screen descriptor +
+    image-descriptor walk) containers. Pixel DATA decoding still needs
+    PIL/libvips at deployment; metadata extraction — the piece the
+    dedup/profiling pipeline actually consumes — is complete here.
+    Raises ``ValueError`` on an unrecognized container.
+    """
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_meta(b)
+    if b[:2] == b"\xff\xd8":
+        return _jpeg_meta(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_meta(b)
+    raise ValueError("unsupported image format (not PNG/JPEG/GIF)")
 
 
 def decode_image_fake(payload: bytes) -> tuple[int, int, int]:

@@ -39,9 +39,112 @@ def test_decode_is_deterministic(media_df):
     assert a == b
 
 
-def test_real_codec_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_real(b"\x89PNG")
+# --- real tiny in-container image bytes (built with struct/zlib only) ------
+
+
+def make_png(w: int, h: int, frames: int | None = None) -> bytes:
+    """A genuinely valid (A)PNG: correct chunk lengths + CRCs, 1 IDAT."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+    actl = chunk(b"acTL", struct.pack(">II", frames, 0)) if frames else b""
+    raw = b"".join(b"\x00" + b"\x00" * w for _ in range(h))  # filter 0 rows
+    idat = chunk(b"IDAT", zlib.compress(raw))
+    return b"\x89PNG\r\n\x1a\n" + ihdr + actl + idat + chunk(b"IEND", b"")
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif(w: int, h: int, frames: int = 1) -> bytes:
+    """Minimal GIF89a: logical screen + N image descriptors + trailer."""
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"  # no GCT
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"  # no local color table
+        + b"\x02"  # LZW min code size
+        + b"\x01\x00"  # one 1-byte data sub-block + terminator
+        + b"\x00"
+    )
+    return hdr + img * frames + b"\x3b"
+
+
+def test_real_codec_parses_png_jpeg_gif_headers():
+    assert MM.decode_image_real(make_png(320, 200)) == (320, 200, 1)
+    assert MM.decode_image_real(make_png(17, 9, frames=5)) == (17, 9, 5)
+    assert MM.decode_image_real(make_jpeg(641, 480)) == (641, 480, 1)
+    assert MM.decode_image_real(make_gif(12, 34)) == (12, 34, 1)
+    assert MM.decode_image_real(make_gif(12, 34, frames=3)) == (12, 34, 3)
+    with pytest.raises(ValueError):
+        MM.decode_image_real(b"not an image at all")
+
+
+def test_real_codec_png_is_pil_parseable_shape():
+    """The generated PNG is standards-valid: zlib-decompressible IDAT and
+    CRC-correct chunks (so the byte literals are REAL images, not just
+    parser-shaped input)."""
+    import struct
+    import zlib
+
+    b = make_png(5, 4)
+    pos, seen = 8, {}
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(ctype + data), ctype
+        seen[ctype] = data
+        pos += 12 + length
+    assert set(seen) == {b"IHDR", b"IDAT", b"IEND"}
+    raw = zlib.decompress(seen[b"IDAT"])
+    assert len(raw) == 4 * (1 + 5)  # h rows of (filter byte + w bytes)
+
+
+def test_decode_media_real_codec_path(spark):
+    """decode_media(use_real_codec=True) over real image bytes: the
+    Arrow/mapInPandas plumbing is identical to the fake path and the
+    metadata shape agrees (same DECODED_SCHEMA, same tuple arity)."""
+    import hashlib as H
+
+    payloads = [
+        (0, make_png(320, 200), "image"),
+        (1, make_jpeg(640, 480), "image"),
+        (2, make_gif(64, 32, frames=4), "image"),
+        (3, make_png(8, 8, frames=2), "image"),
+    ]
+    df = spark.createDataFrame(payloads, MM.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in MM.decode_media(df, use_real_codec=True).collect()}
+    expect = {0: (320, 200, 1), 1: (640, 480, 1), 2: (64, 32, 4), 3: (8, 8, 2)}
+    for mid, (w, h, f) in expect.items():
+        r = rows[mid]
+        assert (r.width, r.height, r.n_frames) == (w, h, f)
+        assert r.n_bytes == len(payloads[mid][1])
+        assert r.sha1 == H.sha1(payloads[mid][1]).hexdigest()
 
 
 def test_frame_sample_explodes(media_df):

@@ -1,0 +1,69 @@
+"""10x scale probe: run the headline bench at sf0.1 and sf1, gate on
+superlinearity (round-3 verdict task 5).
+
+A query whose wall-clock grows more than GATE_RATIO (15x) on 10x data is
+flagged: that shape of blowup is what LSH candidate explosions, broadcast-
+threshold cliffs, and window skew look like. Each scale runs in its OWN
+subprocess (fresh JVM) so sf1 doesn't inherit sf0.1's warmed state, using
+bench.py verbatim — same queries, same median-of-N methodology.
+
+Usage: python tools/scale_probe.py          (expects .scaledata/sf1; run
+       tools/make_sf1.py first)
+Prints one JSON line: {"sf0.1": {...}, "sf1": {...}, "ratio": {...},
+"flagged": [...], "gate": 15.0}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+GATE_RATIO = 15.0
+SF1_DIR = os.path.abspath(".scaledata/sf1")
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=3600,
+    ).stdout
+    # bench prints exactly one JSON line (last non-empty line of stdout)
+    return json.loads([ln for ln in out.splitlines() if ln.strip()][-1])
+
+
+def main() -> None:
+    if not os.path.isdir(SF1_DIR):
+        sys.exit(f"{SF1_DIR} missing — run: python tools/make_sf1.py")
+    small = run_bench("/root/testdata/sf0.1")
+    big = run_bench(SF1_DIR)
+    ratio = {
+        name: round(big["queries"][name] / max(small["queries"][name], 1e-3), 1)
+        for name in sorted(small["queries"])
+    }
+    flagged = sorted(n for n, r in ratio.items() if r > GATE_RATIO)
+    print(
+        json.dumps(
+            {
+                "sf0.1": small["queries"],
+                "sf1": big["queries"],
+                "total_sf0.1": small["value"],
+                "total_sf1": big["value"],
+                "ratio": ratio,
+                "flagged": flagged,
+                "gate": GATE_RATIO,
+            }
+        )
+    )
+    if flagged:
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

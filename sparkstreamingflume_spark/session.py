@@ -51,6 +51,23 @@ def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None 
         # persist once per micro-batch instead — keep shuffle tracking on so
         # AQE can reuse exchanges.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # stream-stream join / streaming-agg state lives off-heap in
+        # RocksDB with incremental (changelog) checkpoints: multi-GB
+        # per-executor state (rate x interval horizon for the interval
+        # join) neither pressures the JVM heap nor re-uploads a full
+        # snapshot per batch — the default HDFSBackedStateStore keeps
+        # every version on heap and showed 1.6x-trigger p99 GC spikes at
+        # 50k rows/s/side in tools/soak.py sjoin mode.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
     )
     # Driver memory must be set BEFORE the JVM launches: builder.config is a

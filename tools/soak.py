@@ -9,13 +9,20 @@ the next arrives, src/StreamingSocketProcess64.scala:83).
 Usage: python tools/soak.py [rows_per_second] [seconds] [mode]
 mode = type61 (single-type pipeline, default) | routed (mixed 61-66
 lines through the one-pass metadata-driven router) | dual (routed +
-two-partner fan-out enrichment, routed_pipeline_dual — 2x output rows).
-Prints one JSON line with batch-duration percentiles and sustained rate.
+two-partner fan-out enrichment, routed_pipeline_dual — 2x output rows)
+| sjoin_inner / sjoin_outer (stream-stream interval join: two rate
+sources at rows_per_second EACH, keyed user join with a 30 s interval
+and 30 s watermarks — state must stay bounded at ~rate x horizon)
+| rollup (update-mode windowed agg upserted into a partitioned parquet
+materialized view via sinks.upsert_rollup, 10 s windows).
+Prints one JSON line with batch-duration percentiles, sustained rate,
+and (for stateful modes) state-store rows/bytes (max + last batch).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -26,6 +33,13 @@ def main() -> None:
     rows_per_sec = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     run_s = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     mode = sys.argv[3] if len(sys.argv) > 3 else "type61"
+    # stream-stream joins pay a fixed per-batch state-store cost (RocksDB
+    # commit every batch + a periodic ~11 s snapshot-maintenance spike
+    # every ~60 s, measured in SOAK_DEBUG traces); a longer trigger
+    # absorbs it. 20 s is the reference's own stability criterion
+    # (src/StreamingSocketProcess64.scala:83); stateless pipelines keep
+    # the much tighter 2 s bar.
+    trigger_s = {"sjoin_inner": 20, "sjoin_outer": 20}.get(mode, 2)
 
     from pyspark.sql import functions as F
 
@@ -55,7 +69,67 @@ def main() -> None:
         ["map_key", "map_value"],
     ).dropDuplicates(["map_key"])
 
-    if mode in ("routed", "dual"):
+    tmp_sink_dir = None
+    if mode in ("sjoin_inner", "sjoin_outer"):
+        # two independent rate streams over ~1M users: at 50k rows/s each
+        # side, a left row matches ~rate*horizon/|users| ~ 1.5 same-key
+        # right rows in its 30s interval — realistic attribution fan-out
+        # (1k users at this rate would mean ~1500 matches/row: the output
+        # itself, not the join, becomes the bottleneck)
+        from sparkstreamingflume_spark.streaming.joins import interval_join
+
+        def side(name: str):
+            return sources.rate(spark, rows_per_second=rows_per_sec).select(
+                (F.col("value") % 1_000_000).alias("user_id"),
+                F.col("timestamp").alias("ts"),
+                F.col("value").alias(f"{name}_seq"),
+            )
+
+        transformed = interval_join(
+            side("l"),
+            side("r"),
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            max_delay="30 seconds",
+            watermark="30 seconds",
+            how="inner" if mode == "sjoin_inner" else "left_outer",
+        )
+    elif mode == "rollup":
+        # update-mode continuous aggregate -> partitioned parquet upsert
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import sinks as SK
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_rollup_")
+        agg = (
+            sources.rate(spark, rows_per_second=rows_per_sec)
+            .withWatermark("timestamp", "10 seconds")
+            .groupBy(
+                F.window("timestamp", "10 seconds").alias("w"),
+                (F.col("value") % 32).alias("shard"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+            .select(
+                F.date_format("w.start", "yyyyMMddHHmmss").alias("wstart"),
+                "shard",
+                "n",
+                "sum_v",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, bid: SK.upsert_rollup(
+                    b, f"{tmp_sink_dir}/view", partition_cols=("wstart",)
+                )
+            )
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
+    elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
         # line is materialized per row (array(make_line x6) would build
@@ -95,11 +169,12 @@ def main() -> None:
             lines, RECORD_TYPES["61"], lookup, how="left"
         )
 
-    q = (
-        transformed.writeStream.format("noop")
-        .trigger(processingTime="2 seconds")
-        .start()
-    )
+    if transformed is not None:
+        q = (
+            transformed.writeStream.format("noop")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
     time.sleep(run_s)
     progress = [
         json.loads(p if isinstance(p, str) else p.json) for p in q.recentProgress
@@ -115,23 +190,51 @@ def main() -> None:
     rates = [p["processedRowsPerSecond"] for p in steady]
     durs.sort()
     pct = lambda q_: durs[min(len(durs) - 1, int(q_ * len(durs)))] if durs else None
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_soak",
-                "mode": mode,
-                "rows_per_second_target": rows_per_sec,
-                "trigger_s": 2,
-                "batches": len(durs),
-                "batch_s_p50": pct(0.5),
-                "batch_s_p99": pct(0.99),
-                "processed_rows_per_s_mean": (
-                    round(sum(rates) / len(rates)) if rates else None
-                ),
-                "stable": bool(durs) and pct(0.99) < 2.0,
-            }
+
+    # state-store posture: rows/bytes must plateau (watermark eviction),
+    # not grow with stream length
+    def state_totals(p):
+        ops = p.get("stateOperators") or []
+        return (
+            sum(o.get("numRowsTotal", 0) for o in ops),
+            sum(o.get("memoryUsedBytes", 0) for o in ops),
         )
-    )
+
+    state = [state_totals(p) for p in steady if p.get("stateOperators")]
+    if os.environ.get("SOAK_DEBUG"):
+        for p in fed:
+            print(
+                f"# batch {p['batchId']}: in={p['numInputRows']} "
+                f"dur={p['durationMs']['triggerExecution'] / 1000.0:.2f}s",
+                file=sys.stderr,
+            )
+    out = {
+        "metric": "streaming_soak",
+        "mode": mode,
+        "rows_per_second_target": rows_per_sec,
+        "trigger_s": trigger_s,
+        "batches": len(durs),
+        "batch_s_p50": pct(0.5),
+        "batch_s_p99": pct(0.99),
+        "processed_rows_per_s_mean": (
+            round(sum(rates) / len(rates)) if rates else None
+        ),
+        "stable": bool(durs) and pct(0.99) < trigger_s,
+    }
+    if state:
+        out["state_rows_max"] = max(s[0] for s in state)
+        out["state_rows_last"] = state[-1][0]
+        out["state_mb_max"] = round(max(s[1] for s in state) / 1e6, 1)
+        out["state_mb_last"] = round(state[-1][1] / 1e6, 1)
+    if tmp_sink_dir:
+        import shutil
+
+        n_parts = len(
+            [d for d in os.listdir(f"{tmp_sink_dir}/view") if d.startswith("wstart=")]
+        )
+        out["rollup_partitions"] = n_parts
+        shutil.rmtree(tmp_sink_dir, ignore_errors=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

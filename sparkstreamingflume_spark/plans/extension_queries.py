@@ -48,6 +48,8 @@ TOPK = 5
 N_QUERIES = 10  # similarity-search probe set: vec_id < 10
 N_CENTROIDS = 8  # IVF: vec_id < 8 act as centroids
 FP_MOD = 16  # fingerprint: keep shingle hashes ≡ 0 (mod 16)
+REP_TOP2_MAX_PPM = 200_000  # repetition filter: top 2-gram <= 20% of 2-grams
+REP_DUP6_MAX_PPM = 100_000  # repetition filter: duplicate 6-grams <= 10%
 
 _SH = shingles_sql("text")
 _TOK = "string_split(text, ' ')"
@@ -666,6 +668,83 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("long").alias(
             "bpe_tokens"
         ),
+    )
+
+
+@query(
+    "q_rep_filter",
+    f"""
+    WITH g2 AS (
+        SELECT doc_id, unnest({shingles_sql('text', 2)}) AS g FROM documents
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    s2 AS (
+        SELECT doc_id, max(c) AS max2, CAST(sum(c) AS BIGINT) AS n2
+        FROM c2 GROUP BY doc_id
+    ),
+    g6 AS (
+        SELECT doc_id, unnest({shingles_sql('text', 6)}) AS g FROM documents
+    ),
+    c6 AS (SELECT doc_id, g, count(*) AS c FROM g6 GROUP BY doc_id, g),
+    s6 AS (
+        SELECT doc_id, CAST(sum(c) - count(*) AS BIGINT) AS dup6,
+               CAST(sum(c) AS BIGINT) AS n6
+        FROM c6 GROUP BY doc_id
+    ),
+    j AS (
+        SELECT d.doc_id,
+               COALESCE(CAST(floor(max2 * 1000000.0 / n2) AS BIGINT), 0)
+                   AS top2_ppm,
+               COALESCE(CAST(floor(dup6 * 1000000.0 / n6) AS BIGINT), 0)
+                   AS dup6_ppm
+        FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s6 USING (doc_id)
+    )
+    SELECT doc_id, top2_ppm, dup6_ppm,
+           top2_ppm < {REP_TOP2_MAX_PPM} AND dup6_ppm < {REP_DUP6_MAX_PPM}
+               AS keep
+    FROM j
+    """,
+    doc="Repetition filter (the Gopher/MassiveText rule family): per doc, "
+    "the most-frequent-2-gram share of all 2-grams and the duplicate "
+    "share of 6-gram occurrences, floored to ppm; docs above either "
+    "threshold are flagged. Catches boilerplate / navigation spam / "
+    "degenerate repetition that length-based quality scores miss. Spark "
+    "shape: two explode -> (doc, gram) count -> per-doc rollup passes, "
+    "both map-side combinable; no joins beyond doc_id, so it scales like "
+    "q_text_stats, not like dedup. Extra: certified by "
+    "tests/test_oracle_extras.py + tools/validate.py.",
+    tags=("text",),
+    extra=True,
+)
+def q_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+
+    def gram_counts(k: int):
+        g = d.select("doc_id", F.explode(shingles("text", k)).alias("g"))
+        return g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+
+    s2 = gram_counts(2).groupBy("doc_id").agg(
+        F.max("c").alias("max2"), F.sum("c").alias("n2")
+    )
+    s6 = gram_counts(6).groupBy("doc_id").agg(
+        (F.sum("c") - F.count("*")).alias("dup6"), F.sum("c").alias("n6")
+    )
+    top2 = F.floor(F.col("max2") * 1_000_000.0 / F.col("n2")).cast("long")
+    d6 = F.floor(F.col("dup6") * 1_000_000.0 / F.col("n6")).cast("long")
+    return (
+        d.select("doc_id")
+        .join(s2, "doc_id", "left")
+        .join(s6, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(top2, F.lit(0)).alias("top2_ppm"),
+            F.coalesce(d6, F.lit(0)).alias("dup6_ppm"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top2_ppm") < REP_TOP2_MAX_PPM)
+            & (F.col("dup6_ppm") < REP_DUP6_MAX_PPM),
+        )
     )
 
 

@@ -175,6 +175,92 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
+    """Header-metadata decoder for real WAV (RIFF) bytes — no codec
+    library needed: channels / sample rate / bits-per-sample live in the
+    ``fmt `` chunk and the sample count falls out of the ``data`` chunk
+    length. Compressed codecs (mp3/ogg/flac) still need ffmpeg at
+    deployment; the RIFF container — the interchange format raw corpus
+    audio actually arrives in — is complete here. Returns
+    ``(sample_rate, n_channels, n_samples)``; raises ``ValueError`` on a
+    non-RIFF payload or a truncated chunk walk.
+    """
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (not RIFF/WAVE)")
+    pos, rate, channels, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            channels, rate = struct.unpack("<HI", b[pos + 10 : pos + 16])
+            (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    n_samples = data_len // max(1, channels * (bits // 8))
+    return rate, channels, n_samples
+
+
+def decode_audio_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake audio metadata from the payload digest (the
+    synthetic corpus carries arbitrary bytes, not RIFF containers)."""
+    h = hashlib.sha1(payload).digest()
+    rate = (8000, 16000, 22050, 44100, 48000)[h[0] % 5]
+    channels = 1 + (h[1] % 2)
+    n_samples = 1000 + int.from_bytes(h[2:6], "big") % 480_000
+    return rate, channels, n_samples
+
+
+def decode_audio(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas audio decode: (media_id, payload) -> audio metadata.
+
+    Same Arrow-batched, shuffle-free, payload-dropping shape as
+    :func:`decode_media`; ``duration_ms`` is integer-derived so results
+    are engine-deterministic.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            meta = pdf["payload"].map(
+                decode_audio_real if use_real_codec else decode_audio_fake
+            )
+            rates = meta.map(lambda m: m[0])
+            samples = meta.map(lambda m: m[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "sha1": pdf["payload"].map(
+                        lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                    ),
+                    "sample_rate": rates,
+                    "n_channels": meta.map(lambda m: m[1]),
+                    "n_samples": samples,
+                    "duration_ms": samples * 1000 // rates,
+                }
+            )
+
+    return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into frame rows
     (fake: one row per sampled frame index, real: ffmpeg seek+decode).

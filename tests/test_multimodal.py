@@ -198,3 +198,69 @@ def test_extract_features_unit_norm_deterministic(spark, media_df):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
     again = {r["media_id"]: r["embedding"] for r in extract_features(media_df).collect()}
     assert all(again[r["media_id"]] == r["embedding"] for r in rows)
+
+
+def make_wav(rate: int, channels: int, n_samples: int, bits: int = 16) -> bytes:
+    """A standards-valid PCM WAV: RIFF header + fmt chunk + data chunk."""
+    import struct
+
+    frame = channels * (bits // 8)
+    data = bytes(n_samples * frame)  # silence
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * frame, frame, bits
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_audio_codec_parses_wav_header():
+    assert MM.decode_audio_real(make_wav(16000, 1, 1234)) == (16000, 1, 1234)
+    assert MM.decode_audio_real(make_wav(44100, 2, 999, bits=8)) == (44100, 2, 999)
+    # extra chunk before fmt (LIST) must be skipped by the chunk walk
+    import struct
+
+    w = make_wav(8000, 1, 10)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = w[:12] + extra + w[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert MM.decode_audio_real(patched) == (8000, 1, 10)
+    with pytest.raises(ValueError):
+        MM.decode_audio_real(b"not audio")
+    with pytest.raises(ValueError):  # RIFF but no fmt/data
+        MM.decode_audio_real(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_audio_real_and_fake_paths(spark, media_df):
+    """Same mapInPandas plumbing both ways: real WAV bytes parse to their
+    true header values; the fake path yields the same schema and is
+    deterministic over arbitrary bytes."""
+    import hashlib as H
+
+    payloads = [
+        (0, make_wav(16000, 1, 16000), "audio"),  # 1 s mono
+        (1, make_wav(48000, 2, 12000), "audio"),  # 250 ms stereo
+    ]
+    df = spark.createDataFrame(payloads, MM.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in MM.decode_audio(df, use_real_codec=True).collect()}
+    assert (rows[0].sample_rate, rows[0].n_channels, rows[0].n_samples) == (
+        16000, 1, 16000,
+    )
+    assert rows[0].duration_ms == 1000
+    assert (rows[1].sample_rate, rows[1].n_channels, rows[1].n_samples) == (
+        48000, 2, 12000,
+    )
+    assert rows[1].duration_ms == 250
+    for mid, payload, _ in payloads:
+        assert rows[mid].n_bytes == len(payload)
+        assert rows[mid].sha1 == H.sha1(payload).hexdigest()
+
+    fake = MM.decode_audio(media_df).collect()
+    assert len(fake) == media_df.count()
+    assert MM.decode_audio(media_df).schema == MM.AUDIO_SCHEMA
+    for r in fake:
+        assert r.sample_rate in (8000, 16000, 22050, 44100, 48000)
+        assert r.n_channels in (1, 2)
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate

@@ -144,15 +144,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never form a pair — drop it before the self-join. At 100 TB this
     # removes the long tail (most shingles are unique), shrinking the
     # join input by ~an order of magnitude; n_sh above is computed BEFORE
-    # the prune so Jaccard denominators are unchanged.
-    shared = sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(
-        F.col("df_") > 1
+    # the prune so Jaccard denominators are unchanged. The prune is a
+    # count(*) WINDOW over shingle (not a groupBy+join back): one shuffle
+    # produces the pruned frame already hash-partitioned by shingle, and
+    # the merge-hinted self-join then reuses that single exchange for
+    # BOTH sides (ReusedExchange) — the explode+md5 scan runs once, where
+    # the agg+broadcast-join form re-ran it per join side (6 subtrees;
+    # measured 2.0x slower end-to-end at sf0.1).
+    w = Window.partitionBy("shingle")
+    pruned = (
+        sh.withColumn("df_", F.count("*").over(w))
+        .filter(F.col("df_") > 1)
+        .drop("df_")
     )
-    sh = sh.join(shared.select("shingle"), "shingle")
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = pruned.alias("a"), pruned.alias("b")
     common = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

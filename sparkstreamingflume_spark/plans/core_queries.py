@@ -10,8 +10,13 @@ the *same* line corpus from ``lineitem`` (`_cdr_lines` here ≡ `LINES_CTE` in
 SQL): an 11-way routing prefix 60..70 (reference
 src/StreamingSocketProcess.scala:138-159), 44 fields for clean rows
 (the GPRS width, src/DesenPross.scala:181), a short 7-field variant for
-dirty rows (~10%), and a trailing '|' on ~14% of rows to pin the Java
-``split(sep, 0)`` trailing-empty-drop semantics cross-engine.
+dirty rows (~10%), a trailing '|' on ~14% of rows to pin the Java
+``split(sep, 0)`` trailing-empty-drop semantics cross-engine, and a
+trailing CR (``\\r``) on ~8% of rows — including ``...|\\r`` where the two
+overlap — so the ``\\z`` end-of-INPUT anchor in ``line_fields`` (vs Java
+``$``, which also matches before a final line terminator and would
+mis-strip the pipe) is exercised by DRIVER-certified queries, not just
+pytest (functions/lines.py:44-51).
 
 Determinism discipline (registry.py): every computed column aliased
 identically on both sides; float aggregates scaled to BIGINT cents before
@@ -44,7 +49,8 @@ lines AS (
            concat_ws('|', 60 + l_orderkey % 11, l_orderkey, l_partkey,
                      l_suppkey, l_linenumber, l_returnflag, l_linestatus)
            || CASE WHEN l_orderkey % 10 = 0 THEN '' ELSE '{_FILLER}' END
-           || CASE WHEN l_orderkey % 7 = 0 THEN '|' ELSE '' END AS line
+           || CASE WHEN l_orderkey % 7 = 0 THEN '|' ELSE '' END
+           || CASE WHEN l_orderkey % 13 = 0 THEN chr(13) ELSE '' END AS line
     FROM lineitem
 )"""
 
@@ -71,6 +77,7 @@ def _cdr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
         F.when(F.col("l_orderkey") % 10 == 0, F.lit("")).otherwise(F.lit(_FILLER)),
         F.when(F.col("l_orderkey") % 7 == 0, F.lit("|")).otherwise(F.lit("")),
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit("\r")).otherwise(F.lit("")),
     )
     return li.select(
         "l_orderkey",

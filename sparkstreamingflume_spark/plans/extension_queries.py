@@ -942,15 +942,21 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its shingles), so Jaccard values are identical to the corpus-wide "
     "computation; the oracle spells the corpus-wide form for exactly "
     "that reason. Plan-asserted candidate-gated (LeftSemi) by "
-    "tests/test_contract.py. Note: the candidate frame is referenced "
-    "three times (doc gate ×2, pair intersect) and Catalyst does not "
-    "reuse the LSH exchange across them — at 100 TB, materialize "
-    "stage-1 candidates (persist or a checkpoint table) before the "
-    "verify pass; the recompute is harmless at fixture scale.",
+    "tests/test_contract.py. The candidate frame is referenced three "
+    "times (doc gate ×2, pair intersect), and Catalyst does not reuse "
+    "the LSH exchange across them — so stage-1 candidates are "
+    "MATERIALIZED (persist MEMORY_AND_DISK: the candidate-pair set is "
+    "tiny relative to the corpus — band-collision pairs only — so it "
+    "fits executor storage even at 100 TB input; disk spill is the "
+    "safety valve) and every reference reads the InMemoryRelation "
+    "instead of re-running the explode+minhash+band subtree "
+    "(plan-asserted single-computation by tests/test_contract.py).",
     tags=("dedup",),
 )
 def q_dedup_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = q_dedup_minhash(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    cand = q_dedup_minhash(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

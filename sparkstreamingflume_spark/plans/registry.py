@@ -34,11 +34,11 @@ class Query:
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
     # extra=True: still registered, locally validated (tools/validate.py)
-    # and oracle-certified by pytest (tests/test_oracle_extras.py), but
-    # NOT exposed through __spark_entry__.queries() — the driver certifies
-    # at most 50 entries per round, so that window is reserved for the 50
-    # primary queries. Every extra is a strict subset or a how-variant of
-    # a primary query (see each decorator's doc).
+    # and oracle-certified by pytest (tests/test_oracle_extras.py), and NOT
+    # part of the default primary set — but CERT_WINDOW may still name an
+    # extra to give it a driver row (the rotation draws from the FULL
+    # registry). Every extra is a strict subset or a how-variant of a
+    # primary query (see each decorator's doc).
     extra: bool = False
 
 
@@ -78,71 +78,78 @@ def primary_queries() -> dict[str, Query]:
 # Per-round driver certification window.
 #
 # The driver certifies at most 50 queries()/oracle_sql() entries per round,
-# but the registry holds 87. Rather than burning the same 50 slots every
-# round, the window ROTATES: rounds 1-3 banked green CORRECTNESS rows for
-# the original 50 primaries, so round 4's window exposes the 37 queries
-# never driver-certified (all now oracle-backed), q_approx_aggs (primary
-# since r2 but rows-only until its tolerance oracle landed this round),
-# and 12 regression anchors re-certifying this round's code changes (the
-# line-op \z fix, the candidates-verified oracle hashing) plus the bench
-# headliners. Queries OUTSIDE the window stay cross-engine-certified every
-# run by tools/validate.py and tests/test_oracle_extras.py (same compare).
+# but the registry holds 88. Rather than burning the same 50 slots every
+# round, the window ROTATES. Round-5 rationale: round 4's events fixtures
+# changed ts encoding and broke every events-backed query at analysis time
+# (session.py load_table, fixed this round), so the window re-certifies the
+# ENTIRE events blast radius (22 queries — incl. the 6 never-green
+# casualties q_approx_aggs / q_approx_count_distinct / q_json_typed /
+# q_lag_delta / q_moving_window / q_sketch_rollup), adds q_rep_filter (the
+# last registry entry with no driver row ever), the six line-op queries
+# whose shared corpus gained a CR-suffixed branch this round (certifying
+# the \z end-of-input semantics at the driver, functions/lines.py:44-51),
+# q_dedup_candidates_verified (candidate frame now materialized once), the
+# 12 bench headliners, and regression anchors. Queries OUTSIDE the window
+# stay cross-engine-certified every run by tools/validate.py and
+# tests/test_oracle_extras.py (same compare).
 # ---------------------------------------------------------------------------
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- never driver-certified before round 4 ------------------------------
-    "q_anti_join",
+    # -- never driver-certified: last gap in the ledger ---------------------
+    "q_rep_filter",
+    # -- events blast radius: every query the r4 loader break took down -----
+    "q_approx_aggs",
     "q_approx_count_distinct",
-    "q_approx_percentile",
-    "q_contamination",
-    "q_count",
-    "q_count_by_type_salted",
-    "q_cube",
-    "q_data_mix",
+    "q_asof_join",
+    "q_broadcast_join",
+    "q_count_distinct",
     "q_date_bucket",
-    "q_dedup_embed_cosine_bruteforce",
-    "q_dedup_simhash",
-    "q_dirty_filter",
-    "q_distinct",
-    "q_embed_ivf",
     "q_enrich_join_salted",
-    "q_except",
     "q_fanout_dup",
-    "q_field_drop",
-    "q_histogram",
-    "q_intersect",
+    "q_json_extract",
     "q_json_typed",
     "q_lag_delta",
-    "q_md5_mask",
+    "q_left_join_default",
     "q_moving_window",
-    "q_pii_scrub",
-    "q_profile",
-    "q_rollup",
-    "q_sample_stratified",
-    "q_semi_join",
-    "q_seq_pack",
-    "q_sketch_rollup",
-    "q_subqueries",
-    "q_text_normalize",
-    "q_token_count",
-    "q_topk",
-    "q_window_suite",
-    "q_cluster_sort_bucketed",  # new this round (scale-safe O3)
-    # -- primary since r2 but never green (tolerance oracle landed r4) ------
-    "q_approx_aggs",
-    # -- regression anchors: re-certify this round's changes + headliners ---
-    "q_field_extract",
-    "q_md5_mask_multi",
-    "q_project_44to10",
-    "q_gprs_pipeline",
-    "q_dedup_candidates_verified",
-    "q_dedup_ngram_jaccard",
-    "q_tpch_q1",
-    "q_broadcast_join",
+    "q_pagerank",
+    "q_pivot",
+    "q_project_kv",
+    "q_range_join",
     "q_sessionize",
+    "q_sketch_rollup",
+    "q_time_rollup",
+    "q_window_sliding",
+    "q_window_tumbling",
+    # -- line-op family: corpus gained the CR-suffixed branch this round ----
+    "q_field_extract",
+    "q_md5_mask",
+    "q_md5_mask_multi",
+    "q_field_drop",
+    "q_project_44to10",
+    "q_dirty_filter",
+    "q_gprs_pipeline",
+    "q_filter_prefix",
+    "q_count_by_type",
+    "q_cluster_sort",
+    "q_union",
+    "q_group_concat",
+    # -- changed this round: candidate frame materialized once --------------
+    "q_dedup_candidates_verified",
+    # -- remaining bench headliners + regression anchors --------------------
+    "q_tpch_q1",
+    "q_join_bigbig",
     "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
     "q_embed_topk",
     "q_corpus_prep",
+    "q_lookup_build",
+    "q_cluster_sort_bucketed",
+    "q_count_by_type_salted",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_dedup_embed_cosine",
 )
 
 

@@ -85,18 +85,30 @@ def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read it as raw nanos and truncate to
-    microseconds (integer ``div`` — the values exceed 2^53, so float
-    division would corrupt them), matching DuckDB's nanos→micros
-    truncation so oracles agree.
+    ``events.parquet`` has shipped with two encodings for ``ts`` across
+    fixture generations: legacy TIMESTAMP(NANOS) (which Spark's vectorized
+    reader only accepts as raw longs via ``nanosAsLong``) and plain
+    ``timestamp[us]``. Branch on the inferred dtype: a LongType ``ts`` is
+    legacy nanos — truncate to microseconds with integer ``div`` (values
+    exceed 2^53, float division would corrupt them), matching DuckDB's
+    nanos→micros truncation so oracles agree; a TIMESTAMP_NTZ ``ts`` is
+    cast to session-local TIMESTAMP (a pure re-tag under the engine's
+    fixed UTC session timezone — same micros, same formatted strings —
+    and required because ``unix_micros``/window arithmetic in the query
+    surface takes TIMESTAMP, matching what the legacy path always
+    produced). ``nanosAsLong`` stays set so BOTH encodings load
+    regardless of which generation the fixtures are.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -99,6 +99,13 @@ def test_dedup_candidates_verified_is_candidate_gated(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" in plan, "postings are not candidate-gated"
+    # The LSH candidate subtree is referenced 3x (doc gate x2, pair
+    # intersect) — it must be MATERIALIZED once (persist), so every
+    # reference reads the InMemoryRelation and the explode+minhash+band
+    # subtree appears zero times outside the cache build.
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "candidate frame is not materialized once and read 3x:\n" + plan
+    )
 
 
 def test_embed_cosine_pairs_have_no_allpairs_join(spark):

@@ -60,8 +60,16 @@ _ARR = r"string_split(regexp_replace(line, '\|+$', ''), '|')"
 
 
 def _cdr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of LINES_CTE — must stay field-identical to it."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """Spark twin of LINES_CTE — must stay field-identical to it.
+
+    The corpus feeds CPU-bound per-row chains (44-way split, md5 masks),
+    so the scan is widened to cluster width when the parquet layout is
+    single-row-group-narrow (see session.widen_if_narrow: a no-op on
+    real row-group-per-128MB tables).
+    """
+    from sparkstreamingflume_spark.session import widen_if_narrow
+
+    li = widen_if_narrow(load_table(spark, sf_dir, "lineitem"))
     rec_type = (F.lit(60) + F.col("l_orderkey") % 11).cast("string")
     base = F.concat_ws(
         "|",

@@ -527,6 +527,106 @@ def q_dedup_embed_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Sign-random-projection (hyperplane) LSH over embeddings: 64 planes as
+# 8 bands x 8 bits. Planes are corpus vectors vec_id in [N_QUERIES,
+# N_QUERIES+64) — deterministic in both engines with zero extra fixture
+# state; only the SIGN of the dot product is used, so plane norms are
+# irrelevant.
+N_HP = 64
+HP_BANDS = 8
+HP_BITS = 8
+_HP_LO = N_QUERIES
+_HP_HI = N_QUERIES + N_HP
+
+
+@query(
+    "q_dedup_embed_lsh",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    hp AS (SELECT vec_id - {_HP_LO} AS p, emb FROM e
+           WHERE vec_id >= {_HP_LO} AND vec_id < {_HP_HI}),
+    sig AS (
+        SELECT b.vec_id, a.p // {HP_BITS} AS band,
+               sum(CASE WHEN list_dot_product(a.emb, b.emb) >= 0
+                        THEN 1 << (a.p % {HP_BITS}) ELSE 0 END) AS band_sig
+        FROM hp a, e b
+        GROUP BY b.vec_id, a.p // {HP_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM sig x JOIN sig y
+          ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+    FROM cand c
+    JOIN e a ON a.vec_id = c.vec_a
+    JOIN e b ON b.vec_id = c.vec_b
+    WHERE {_COS_PPM} >= 350000
+    """,
+    doc="Embedding-cosine near-dup pairs via sign-random-projection "
+    "(hyperplane) LSH — the third scale path next to IVF-cell gating "
+    "(q_dedup_embed_cosine) and brute force: each vector gets an 8x8-bit "
+    "banded sign signature against 64 broadcast hyperplanes (a "
+    "map-side-combinable (vec_id, band) aggregate — one linear corpus "
+    "pass), candidate pairs come from band-bucket equi-joins (never an "
+    "all-pairs scan), and only candidates pay the exact-cosine verify "
+    "via two hash joins back to the corpus. Recall is "
+    "angle-concentrated by construction (P[bit agrees] = 1 - theta/pi, "
+    "band-AND sharpens it): real near-dups at cos>=0.9 collide in some "
+    "band almost surely, while the fixture's near-random corpus (max "
+    "cos ~0.49) samples the 0.35-threshold tail at the analytic "
+    "~15-28% rate — tests/test_approx.py pins the strict-subset "
+    "property and a recall floor against the brute-force reference. "
+    "100 TB: planes broadcast (64x64 doubles), signatures partition by "
+    "(band, band_sig), AQE splits hot buckets.",
+    tags=("dedup", "similarity"),
+    extra=True,
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    hp = e.filter((F.col("vec_id") >= _HP_LO) & (F.col("vec_id") < _HP_HI)).select(
+        (F.col("vec_id") - _HP_LO).alias("p"), F.col("emb").alias("hp_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "hp_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sig = (
+        e.crossJoin(F.broadcast(hp))
+        .select(
+            "vec_id",
+            (F.col("p") / HP_BITS).cast("int").alias("band"),
+            F.when(dot >= 0, F.expr(f"shiftleft(1, p % {HP_BITS})").cast("long"))
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("band_sig"))
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        cand.join(a, F.col("a.vec_id") == F.col("vec_a"))
+        .join(b, F.col("b.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", _cos_ppm().cast("long").alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= 350_000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -676,6 +776,63 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.lower("text"), F.lit(_BPE_RE)).cast("long").alias(
             "bpe_tokens"
         ),
+    )
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@query(
+    "q_doc_chunk",
+    f"""
+    WITH ks AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0,
+                   greatest(0, (len(text) - {CHUNK_CHARS} + {CHUNK_STRIDE - 1})
+                               // {CHUNK_STRIDE})
+               )) AS k
+        FROM documents
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           substring(text, CAST(1 + k * {CHUNK_STRIDE} AS INT),
+                     {CHUNK_CHARS}) AS chunk,
+           CAST(len(substring(text, CAST(1 + k * {CHUNK_STRIDE} AS INT),
+                              {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+    FROM ks
+    """,
+    doc="Sliding-window document chunking ({CHUNK}-char chunks, {STRIDE} "
+    "stride = 50-char overlap) — the RAG/context-window prep step of a "
+    "training pipeline: each doc explodes into ceil-div chunks computed "
+    "with pure integer arithmetic (bit-identical cross-engine; no float "
+    "ceil). Row-local explode + substring: no shuffle at all, "
+    "partition-parallel at any scale, and chunk count is derived from "
+    "length so short docs emit exactly one chunk (including empty "
+    "text). Extra: how-variant of the tokenize/explode family "
+    "(q_seq_pack covers the inverse concat-and-chunk-by-token path).".format(
+        CHUNK=CHUNK_CHARS, STRIDE=CHUNK_STRIDE
+    ),
+    tags=("text",),
+    extra=True,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    last_k = F.expr(
+        f"greatest(0L, (length(text) - {CHUNK_CHARS} + {CHUNK_STRIDE - 1}) "
+        f"div {CHUNK_STRIDE})"
+    )
+    ks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("k"),
+    )
+    sub = f"substring(text, cast(1 + k * {CHUNK_STRIDE} as int), {CHUNK_CHARS})"
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.expr(sub).alias("chunk"),
+        F.expr(f"cast(length({sub}) as bigint)").alias("chunk_len"),
     )
 
 
@@ -1020,6 +1177,61 @@ def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "q_tfidf",
+    f"""
+    WITH tok0 AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok0 GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf, df, score_ppm, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * 1000000 * n.n_docs // df.df AS score_ppm,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * 1000000 * n.n_docs // df.df DESC, tf.tok
+               ) AS rn
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ) t WHERE rn <= {TOPK}
+    """,
+    doc="Per-document TF-IDF-style top terms: term frequency per doc joined "
+    "with corpus document frequency, scored tf * N / df (the log-free "
+    "idf variant — exact integer arithmetic, so both engines agree "
+    "bit-for-bit; a libm log would risk last-ulp floor flips), top-5 "
+    "terms per doc. Shapes like production keyword extraction over a "
+    "training corpus: tf and df are both map-side-combinable "
+    "aggregates, the tf-df join is an equi-join on token (broadcastable "
+    "when |vocab| is small, hash join otherwise), N is a broadcast "
+    "1-row aggregate (never a driver collect), and the final top-k "
+    "window partitions by doc_id — shard-local.",
+    tags=("text",),
+    extra=True,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_ppm", F.expr("(tf * 1000000 * n_docs) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+        .select("doc_id", "tok", "tf", "df", "score_ppm", "rn")
     )
 
 

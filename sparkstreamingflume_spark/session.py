@@ -57,7 +57,13 @@ def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None 
         # join) neither pressures the JVM heap nor re-uploads a full
         # snapshot per batch — the default HDFSBackedStateStore keeps
         # every version on heap and showed 1.6x-trigger p99 GC spikes at
-        # 50k rows/s/side in tools/soak.py sjoin mode.
+        # 50k rows/s/side in tools/soak.py sjoin mode. Measured rows in
+        # BASELINE.md (round 5): interval join certified STABLE at 30k
+        # rows/s/side (p99 ~15-16 s vs 20 s trigger, state bounded at
+        # rate x horizon); at 50k the only p99 driver is the 10-batch
+        # RocksDB snapshot cycle (minDeltasForSnapshot), tunable via
+        # SPARK_GRAFT_EXTRA_CONF; rollup-upsert MV stable at 200k
+        # rows/s with 14 MB plateaued state.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
@@ -70,6 +76,16 @@ def get_session(app_name: str = "sparkstreamingflume_spark", master: str | None 
         )
         .config("spark.ui.enabled", "false")
     )
+    # Deployment-specific overrides without code changes (mirrors the
+    # reference's property-file knobs, SURVEY.md §4.1): semicolon-separated
+    # key=value pairs, e.g.
+    #   SPARK_GRAFT_EXTRA_CONF="spark.sql.streaming.stateStore.minDeltasForSnapshot=30"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        if not _:
+            raise ValueError(f"SPARK_GRAFT_EXTRA_CONF entry has no '=': {pair!r}")
+        builder = builder.config(k, v)
     # Driver memory must be set BEFORE the JVM launches: builder.config is a
     # no-op once a gateway exists. When launched via plain `python`, export
     # PYSPARK_SUBMIT_ARGS (done here, pre-gateway); on a cluster use
@@ -112,3 +128,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def widen_if_narrow(df, min_partitions: int | None = None):
+    """Repartition ``df`` up to the cluster width IF its scan is narrower.
+
+    Parquet scan parallelism is bounded by row-group count: a table
+    written as one row group yields ONE scan task no matter what
+    ``maxPartitionBytes`` says, serializing any CPU-bound per-row chain
+    downstream (the fixture files are single-row-group; measured 4.5 s →
+    0.6 s on the md5×4 GPRS pipeline at sf0.1 on 32 cores). A real
+    100 TB table carries a row group per ~128 MB, the scan is already
+    ≥ cluster-width, the guard is false, and this is a NO-OP — so the
+    shuffle exists only where the input is pathologically narrow, never
+    at scale. Round-robin repartition: row-order-independent results
+    only (every certified query compares order-insensitively).
+    """
+    spark = df.sparkSession
+    want = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, want // 2):
+        return df.repartition(want)
+    return df

@@ -88,6 +88,30 @@ def test_ivf_cosine_pairs_recall_vs_bruteforce(spark):
     assert len(ivf) / len(bf) >= 0.2, (len(ivf), len(bf))
 
 
+def test_hyperplane_lsh_pairs_recall_vs_bruteforce(spark):
+    """The hyperplane-LSH pair query (sign-random-projection, 8 bands x
+    8 bits) must produce a strict subset of the exact all-pairs result.
+    The recall floor is deliberately loose: the synthetic embeddings are
+    near-random (max cosine ~0.49), where the analytic per-band collision
+    rate at the 0.35 threshold is only (1 - acos(0.35)/pi)^8 ~ 2%
+    (~15% over 8 bands); real near-dups at cos>=0.9 collide almost
+    surely ((1 - acos(0.9)/pi)^8 ~ 29% per band, ~93% over 8 bands)."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_lsh"].build(spark, sf).collect()
+    }
+    bf = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["q_dedup_embed_cosine_bruteforce"].build(spark, sf).collect()
+    }
+    assert lsh <= bf
+    assert len(bf) > 0
+    assert len(lsh) / len(bf) >= 0.02, (len(lsh), len(bf))
+
+
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The as-of must be the union-merge form: no join operator at all,
     one window over one hash exchange on user_id."""

@@ -55,6 +55,16 @@ _SH = shingles_sql("text")
 _TOK = "string_split(text, ' ')"
 
 
+# NOT widened (unlike _cdr_lines): measured at sf0.1, the blanket
+# widen_if_narrow repartition won on the CPU-heavy explode chains
+# (minhash 1.36->1.16 s, topk 0.51->0.43 s) but cost more on the
+# cheap-aggregate queries whose first op is already a shuffle-agg
+# (exact dedup 0.23->0.72 s, corpus funnel 0.65->1.13 s): the extra
+# round-robin exchange of full document text dominates. Net bench
+# 8.7->9.3 s, so these stay narrow; the line corpus keeps its widen
+# where the md5x4 chain made it a 3.2 s win.
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -178,6 +188,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_MIN_PPM)
         .select("doc_a", "doc_b", F.floor(jac).cast("long").alias("jaccard_ppm"))
+    )
+
+
+CONTAIN_MIN_PPM = 100_000  # 10% one-sided overlap
+
+
+@query(
+    "q_dedup_containment",
+    f"""
+    WITH sh0 AS (
+        SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM documents
+    ),
+    sh AS (SELECT doc_id, {h32_sql('s')} AS shingle FROM sh0),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(floor(n_common * 1000000.0 / ca.n_sh) AS BIGINT) AS cont_a_ppm,
+           CAST(floor(n_common * 1000000.0 / cb.n_sh) AS BIGINT) AS cont_b_ppm
+    FROM common
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE greatest(n_common * 1000000.0 / ca.n_sh,
+                   n_common * 1000000.0 / cb.n_sh) >= {CONTAIN_MIN_PPM}
+    """,
+    doc="Asymmetric shingle CONTAINMENT (|A∩B|/|A| and |A∩B|/|B|) over "
+    "the same pruned inverted index as q_dedup_ngram_jaccard: Jaccard "
+    "misses a short doc swallowed by a long one (the intersection is "
+    "tiny relative to the union), while containment flags exactly that "
+    "— boilerplate extraction, quotation and subset-document detection "
+    "in training-corpus prep. Same 100 TB shape as the Jaccard query "
+    "(window-pruned postings, one reused exchange for both join "
+    "sides); only the scoring differs. Extra: how-variant of "
+    "q_dedup_ngram_jaccard.",
+    tags=("dedup",),
+    extra=True,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    ).select("doc_id", h32(F.col("s")).alias("shingle"))
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("shingle")
+    pruned = (
+        sh.withColumn("df_", F.count("*").over(w))
+        .filter(F.col("df_") > 1)
+        .drop("df_")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    common = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = card.alias("ca"), card.alias("cb")
+    cont_a = F.col("n_common") * 1_000_000.0 / F.col("ca.n_sh")
+    cont_b = F.col("n_common") * 1_000_000.0 / F.col("cb.n_sh")
+    return (
+        common.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(F.greatest(cont_a, cont_b) >= CONTAIN_MIN_PPM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.floor(cont_a).cast("long").alias("cont_a_ppm"),
+            F.floor(cont_b).cast("long").alias("cont_b_ppm"),
+        )
     )
 
 

@@ -261,6 +261,124 @@ def decode_audio(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _bmff_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    ``b[start:end]`` — size==1 means a 64-bit largesize follows the
+    type; size==0 means the box runs to the end of the enclosure."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head:
+            raise ValueError(f"BMFF: box {btype!r} with impossible size {size}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def decode_video_real(payload: bytes) -> tuple[int, int, int, int]:
+    """Header-metadata decoder for real MP4/ISO-BMFF bytes — no codec
+    library needed: duration and timescale live in ``moov/mvhd``, the
+    track count is the number of ``moov/trak`` boxes, and the visual
+    width/height sit at fixed offsets of the first ``tkhd`` whose
+    dimensions are nonzero (16.16 fixed-point). Frame DATA decoding
+    still needs ffmpeg at deployment; container metadata — the piece
+    dedup/profiling/frame-sampling budgets actually consume — is
+    complete here. Returns ``(duration_ms, n_tracks, width, height)``;
+    raises ``ValueError`` on a non-BMFF payload or missing moov/mvhd.
+    """
+    b = bytes(payload)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("unsupported video format (no ftyp box)")
+    duration_ms = n_tracks = width = height = None
+    for btype, ps, pe in _bmff_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        n_tracks = 0
+        for ctype, cs, ce in _bmff_boxes(b, ps, pe):
+            if ctype == b"mvhd":
+                version = b[cs]
+                if version == 1:
+                    scale, dur = struct.unpack(">IQ", b[cs + 20 : cs + 32])
+                else:
+                    scale, dur = struct.unpack(">II", b[cs + 12 : cs + 20])
+                duration_ms = dur * 1000 // max(1, scale)
+            elif ctype == b"trak":
+                n_tracks += 1
+                if width:
+                    continue
+                for ttype, ts, te in _bmff_boxes(b, cs, ce):
+                    if ttype == b"tkhd":
+                        off = ts + (88 if b[ts] == 1 else 76)
+                        w16, h16 = struct.unpack(">II", b[off : off + 8])
+                        if w16 and h16:
+                            width, height = w16 >> 16, h16 >> 16
+        break
+    if duration_ms is None or n_tracks is None:
+        raise ValueError("BMFF: missing moov/mvhd box")
+    return duration_ms, n_tracks, width or 0, height or 0
+
+
+def decode_video_fake(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake video metadata from the payload digest (the
+    synthetic corpus carries arbitrary bytes, not BMFF containers)."""
+    h = hashlib.sha1(payload).digest()
+    duration_ms = 1000 + int.from_bytes(h[0:4], "big") % 600_000
+    n_tracks = 1 + (h[4] % 3)
+    width = (256, 640, 1280, 1920)[h[5] % 4]
+    height = (144, 360, 720, 1080)[h[5] % 4]
+    return duration_ms, n_tracks, width, height
+
+
+def decode_video(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """mapInPandas video decode: (media_id, payload) -> container metadata.
+
+    Same Arrow-batched, shuffle-free, payload-dropping shape as
+    :func:`decode_media` / :func:`decode_audio`.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            meta = pdf["payload"].map(
+                decode_video_real if use_real_codec else decode_video_fake
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "sha1": pdf["payload"].map(
+                        lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                    ),
+                    "duration_ms": meta.map(lambda m: m[0]),
+                    "n_tracks": meta.map(lambda m: m[1]),
+                    "width": meta.map(lambda m: m[2]),
+                    "height": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return df.mapInPandas(decode, schema=VIDEO_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_nth: int = 8) -> DataFrame:
     """Frame-sampling plumbing: explode a video payload into frame rows
     (fake: one row per sampled frame index, real: ffmpeg seek+decode).

@@ -398,6 +398,59 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_session_window",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Sessionization via Spark's NATIVE session_window aggregate — the "
+    "third sessionizer next to the lag+cumsum batch form (q_sessionize) "
+    "and the applyInPandasWithState streaming form (streaming/stateful.py"
+    "). One combinable shuffle on user_id, merge-on-overlap semantics: a "
+    "new session starts when the gap is >= 30 min (the window END is "
+    "last-event + gap, so an event landing exactly at the end does NOT "
+    "merge — note the >= vs the > in q_sessionize's boundary rule; the "
+    "oracle spells the island form with >= for exactly this reason). "
+    "The same expression runs under readStream + watermark for "
+    "streaming session aggregation with state eviction — pinned "
+    "stream≡batch by tests/test_windowed.py. Extra: how-variant of "
+    "q_sessionize.",
+    tags=("relational", "window", "session"),
+    extra=True,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
     "q_pivot",
     """
     SELECT strftime(ts, '%Y%m%d') AS dt,

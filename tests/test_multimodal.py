@@ -264,3 +264,86 @@ def test_decode_audio_real_and_fake_paths(spark, media_df):
         assert r.sample_rate in (8000, 16000, 22050, 44100, 48000)
         assert r.n_channels in (1, 2)
         assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+
+
+def box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(duration_ms: int, timescale: int, tracks, mvhd_v1: bool = False) -> bytes:
+    """A structurally-valid ISO-BMFF skeleton: ftyp + moov(mvhd + trak*).
+
+    ``tracks`` is a list of (width, height) — (0, 0) marks a non-visual
+    track (audio/subs), matching how tkhd encodes them.
+    """
+    import struct
+
+    dur = duration_ms * timescale // 1000
+    if mvhd_v1:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQIQ", 0, 0, timescale, dur)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, timescale, dur)
+            + b"\x00" * 80,
+        )
+    traks = b""
+    for w, h in tracks:
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + b"\x00" * 72  # times/ids/duration/layer/volume/matrix (v0: 76-4)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        traks += box(b"trak", tkhd)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd + traks)
+
+
+def test_real_video_codec_parses_bmff_header():
+    mp4 = make_mp4(90_000, 600, [(1920, 1080), (0, 0)])
+    assert MM.decode_video_real(mp4) == (90_000, 2, 1920, 1080)
+    # 64-bit mvhd (version 1) and a non-visual-only file
+    assert MM.decode_video_real(make_mp4(1_500, 1000, [(0, 0)], mvhd_v1=True)) == (
+        1_500, 1, 0, 0,
+    )
+    with pytest.raises(ValueError):
+        MM.decode_video_real(b"not a video")
+    with pytest.raises(ValueError):  # ftyp but no moov
+        MM.decode_video_real(box(b"ftyp", b"isom"))
+
+
+def test_decode_video_real_and_fake_paths(spark, media_df):
+    import hashlib as H
+
+    payloads = [
+        (0, make_mp4(30_000, 90000, [(640, 360)]), "video"),
+        (1, make_mp4(250, 600, [(0, 0), (1280, 720)]), "video"),
+    ]
+    df = spark.createDataFrame(payloads, MM.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in MM.decode_video(df, use_real_codec=True).collect()}
+    assert (rows[0].duration_ms, rows[0].n_tracks, rows[0].width, rows[0].height) == (
+        30_000, 1, 640, 360,
+    )
+    assert (rows[1].duration_ms, rows[1].n_tracks, rows[1].width, rows[1].height) == (
+        250, 2, 1280, 720,
+    )
+    for mid, payload, _ in payloads:
+        assert rows[mid].n_bytes == len(payload)
+        assert rows[mid].sha1 == H.sha1(payload).hexdigest()
+
+    fake = MM.decode_video(media_df).collect()
+    assert len(fake) == media_df.count()
+    assert MM.decode_video(media_df).schema == MM.VIDEO_SCHEMA
+    for r in fake:
+        assert r.duration_ms >= 1000 and r.n_tracks in (1, 2, 3)
+        assert (r.width, r.height) in (
+            (256, 144), (640, 360), (1280, 720), (1920, 1080),
+        )

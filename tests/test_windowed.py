@@ -78,3 +78,73 @@ def test_sliding_window_overlap(spark, tmp_path):
         .collect()
     )
     assert len(wins) == 2  # 10:00-10:10 and 10:05-10:15
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The NATIVE session_window aggregate (q_session_window's operator)
+    under readStream + watermark: closed sessions streamed in append mode
+    must equal the batch session_window result, pinning that the same
+    expression is the streaming sessionizer (stateful, watermark-evicted)
+    that plans/relational_queries.py claims."""
+    rows = []
+    # user 1: two sessions (burst at 10:00-10:02, burst at 11:00-11:01)
+    for m, s in ((0, 0), (1, 30), (2, 0)):
+        rows.append((1, f"2024-01-01 10:0{m}:{s:02d}"))
+    rows.append((1, "2024-01-01 11:00:00"))
+    rows.append((1, "2024-01-01 11:01:00"))
+    # user 2: one long chained session crossing the 30-min gap pairwise
+    for hm in ("10:00", "10:20", "10:40"):
+        rows.append((2, f"2024-01-01 {hm}:00"))
+    # a late sentinel far ahead so the watermark closes everything above
+    rows.append((9, "2024-01-02 09:00:00"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "ts": ts}) for u, ts in rows
+        )
+        + "\n"
+    )
+    schema = "user_id LONG, ts STRING"
+
+    def agg(df):
+        return (
+            df.withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                F.col("w.end").cast("string").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    q = (
+        agg(spark.readStream.schema(schema).json(str(landing)))
+        .writeStream.format("memory")
+        .queryName("t_sess_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM t_sess_win").collect()
+    }
+
+    expect = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in agg(spark.read.schema(schema).json(str(landing))).collect()
+    }
+    closed = {k: v for k, v in expect.items() if k[0] != 9}
+    # every closed session must stream out identically: user 1 gets TWO
+    # sessions (the 59-min gap splits), user 2 gets ONE merged session
+    # (20-min gaps chain), proving merge-on-overlap semantics live
+    for k, v in closed.items():
+        assert got.get(k) == v, (k, v, got)
+    assert sum(1 for k in got if k[0] == 1) == 2
+    assert sum(1 for k in got if k[0] == 2) == 1

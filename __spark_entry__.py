@@ -53,9 +53,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per certified operator (SURVEY.md §2 + §7.5 extensions).
 
     The driver certifies at most 50 entries per round, so the registry's
-    87 queries rotate through a per-round certification window
-    (plans/registry.py CERT_WINDOW — round 4 exposes the 37 queries
-    never driver-certified in rounds 1-3 plus regression anchors).
+    93 queries rotate through a per-round certification window
+    (plans/registry.py CERT_WINDOW — round 5 re-certifies the events
+    blast radius of the round-4 loader break, the CR-exercising line-op
+    family, and the remaining never-certified entries).
     Queries outside the window stay cross-engine-certified by
     tests/test_oracle_extras.py and tools/validate.py, and every query
     has a green row in some CORRECTNESS_r*.json. window_queries()

@@ -78,7 +78,7 @@ def primary_queries() -> dict[str, Query]:
 # Per-round driver certification window.
 #
 # The driver certifies at most 50 queries()/oracle_sql() entries per round,
-# but the registry holds 88. Rather than burning the same 50 slots every
+# but the registry holds 93. Rather than burning the same 50 slots every
 # round, the window ROTATES. Round-5 rationale: round 4's events fixtures
 # changed ts encoding and broke every events-backed query at analysis time
 # (session.py load_table, fixed this round), so the window re-certifies the

@@ -270,3 +270,19 @@ def test_cluster_sort_bucketed_reconstructs_global_order(spark):
     for r in sorted(glob, key=lambda r: (r.rec_type, r.rn)):
         by_type_global.setdefault(r.rec_type, []).append(r.line)
     assert by_type_bucketed == by_type_global
+
+
+def test_widen_if_narrow_is_noop_when_already_wide(spark):
+    """widen_if_narrow must add an exchange ONLY for pathologically
+    narrow scans (single-row-group fixture files); a frame already at
+    least half the cluster width passes through IDENTICAL — at 100 TB
+    (row group per ~128 MB) the widen must never add a shuffle."""
+    from sparkstreamingflume_spark.session import widen_if_narrow
+
+    narrow = spark.range(1000).coalesce(1)
+    widened = widen_if_narrow(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert widen_if_narrow(wide) is wide  # no-op: same object, no new plan node

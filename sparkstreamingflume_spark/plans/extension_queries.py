@@ -1739,6 +1739,47 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K_PER_GROUP = 25
+
+
+@query(
+    "q_sample_per_group",
+    f"""
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {h32_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+               ) AS rn
+        FROM documents
+    ) t WHERE rn <= {SAMPLE_K_PER_GROUP}
+    """,
+    doc="Deterministic fixed-size per-group sampling: exactly "
+    "min(K, |group|) docs per source, chosen by ranking on "
+    "h32(doc_id) — a hash-ordered 'reservoir' that is reproducible "
+    "across engines, runs, and partitionings (rand()-based reservoirs "
+    "are not), with doc_id as a total tie-break. Complements "
+    "q_sample_stratified (fixed RATE per stratum) with fixed COUNT per "
+    "stratum — the eval-set / few-shot-pool builder. One shuffle on "
+    "source; at 100 TB swap the full window sort for a per-partition "
+    "top-K + merge (TakeOrdered per group) if |group| >> K — the "
+    "hash-rank semantics are identical. Extra: certified by the pytest "
+    "oracle gate.",
+    tags=("text", "pipeline", "sampling"),
+    extra=True,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        h32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
+    )
+
+
 @query(
     "q_data_mix",
     f"""

@@ -286,3 +286,23 @@ def test_widen_if_narrow_is_noop_when_already_wide(spark):
 
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert widen_if_narrow(wide) is wide  # no-op: same object, no new plan node
+
+
+@pytest.mark.parametrize(
+    "name", ["q_dedup_ngram_jaccard", "q_dedup_containment"]
+)
+def test_inverted_index_self_join_reuses_exchange(spark, name):
+    """The window-based df>1 prune leaves the posting frame
+    hash-partitioned by shingle, and the merge-hinted self-join must then
+    REUSE that one exchange for both sides — the explode+md5 subtree runs
+    once, not per join side (the agg+join-back form re-ran it 6x;
+    commit history measured 2x end-to-end). AQE only materializes
+    ReusedExchange in the FINAL adaptive plan, so execute first."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    df = REGISTRY[name].build(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, (
+        f"{name}: self-join sides no longer share the shingle exchange:\n" + plan
+    )

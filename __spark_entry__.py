@@ -52,11 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per certified operator (SURVEY.md §2 + §7.5 extensions).
 
-    The driver certifies at most 50 entries per round, so the registry's
-    93 queries rotate through a per-round certification window
-    (plans/registry.py CERT_WINDOW — round 5 re-certifies the events
-    blast radius of the round-4 loader break, the CR-exercising line-op
-    family, and the remaining never-certified entries).
+    The driver certifies at most 50 entries per round, so the registry
+    (len(REGISTRY) queries; don't hard-code the count) rotates through a
+    per-round certification window (plans/registry.py CERT_WINDOW —
+    round 6 certifies the six never-certified round-5 newcomers, the
+    plans changed this round, the bench headliners, and the stalest
+    remainder).
     Queries outside the window stay cross-engine-certified by
     tests/test_oracle_extras.py and tools/validate.py, and every query
     has a green row in some CORRECTNESS_r*.json. window_queries()

@@ -51,6 +51,23 @@ FP_MOD = 16  # fingerprint: keep shingle hashes ≡ 0 (mod 16)
 REP_TOP2_MAX_PPM = 200_000  # repetition filter: top 2-gram <= 20% of 2-grams
 REP_DUP6_MAX_PPM = 100_000  # repetition filter: duplicate 6-grams <= 10%
 
+# Stop-shingle document-frequency ceiling for the inverted-index dedup
+# family. A shingle occurring in D documents contributes O(D²) candidate
+# rows out of the posting self-join; boilerplate text ("subscribe to our
+# newsletter") makes D ~ corpus size, which no amount of AQE skew-splitting
+# fixes — the quadratic pair COUNT is the problem, not partition balance.
+# Every production near-dup system caps posting-list length (stop-shingle
+# drop); with the ceiling the worst shingle contributes <= DF_CEIL²/2 pairs.
+# RECALL CONTRACT: shingles with df > DF_CEIL are excluded from candidate
+# generation AND from n_common, so (a) a pair sharing ONLY stop-shingles is
+# missed — by construction such overlap is boilerplate, the thing dedup
+# should ignore; (b) reported scores are computed with unpruned per-doc
+# cardinalities, so they are lower bounds when stop-shingles exist. The
+# fixture corpora have max df 25 (sf0.1), so fixture/driver results are
+# bit-identical with or without the ceiling; the adversarial bounded-pairs
+# fixture lives in tests/test_dedup_skew.py.
+DF_CEIL = 128
+
 _SH = shingles_sql("text")
 _TOK = "string_split(text, ' ')"
 
@@ -76,6 +93,70 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
+
+# Shared inverted-index scaffolding for q_dedup_ngram_jaccard /
+# q_dedup_containment: distinct-shingle postings, per-doc cardinality
+# (computed BEFORE pruning so score denominators are unchanged), the
+# df-window prune (2 <= df <= DF_CEIL, see the DF_CEIL contract above),
+# and the merge-hinted self-join counting common shingles per pair.
+_POSTINGS_CTES = f"""
+    sh0 AS (
+        SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM documents
+    ),
+    sh AS (SELECT doc_id, {h32_sql('s')} AS shingle FROM sh0),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pruned AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df_
+            FROM sh
+        ) WHERE df_ BETWEEN 2 AND {DF_CEIL}
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM pruned a JOIN pruned b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+def _shingle_card_common(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(card, common) for the inverted-index near-dup family.
+
+    The df prune is a count(*) WINDOW over shingle (not a groupBy+join
+    back): one shuffle produces the pruned frame already hash-partitioned
+    by shingle, and the merge-hinted self-join then reuses that single
+    exchange for BOTH sides (ReusedExchange, pinned by
+    tests/test_contract.py) — the explode+md5 scan runs once, where the
+    agg+broadcast-join form re-ran it per join side (6 subtrees; measured
+    2.0x slower end-to-end at sf0.1). The lower bound (df>1) is
+    result-preserving (a shingle in one doc can never form a pair); the
+    upper bound DF_CEIL drops stop-shingles per the recall contract.
+    """
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+    ).select("doc_id", h32(F.col("s")).alias("shingle"))
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("shingle")
+    pruned = (
+        sh.withColumn("df_", F.count("*").over(w))
+        .filter(F.col("df_").between(2, DF_CEIL))
+        .drop("df_")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    common = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return card, common
 
 
 @query(
@@ -112,16 +193,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     f"""
-    WITH sh0 AS (
-        SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM documents
-    ),
-    sh AS (SELECT doc_id, {h32_sql('s')} AS shingle FROM sh0),
-    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {_POSTINGS_CTES}
     SELECT doc_a, doc_b,
            CAST(floor(n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common))
                 AS BIGINT) AS jaccard_ppm
@@ -138,47 +210,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variable-length string halves the shuffle and speeds the sort "
     "(~25% at sf0.1, more at scale); Jaccard is then over the hashed "
     "multiset, exact up to 2^-32 collisions, identically on both "
-    "engines. At 100 TB you additionally drop stop-shingles (df above "
-    "a cutoff) to bound posting-list skew; AQE skew-join splitting "
-    "covers the remainder.",
+    "engines. Posting lists are bounded: the df-window prune keeps "
+    "2 <= df <= DF_CEIL, dropping both the unpairable tail AND "
+    "boilerplate stop-shingles whose O(df²) pair output is the one "
+    "inverted-index scale killer (see the DF_CEIL recall contract; "
+    "bounded-pairs fixture in tests/test_dedup_skew.py). AQE skew-join "
+    "splitting rebalances what remains.",
     tags=("dedup",),
     bench=True,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
-    ).select("doc_id", h32(F.col("s")).alias("shingle"))
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Result-preserving prune: a shingle present in exactly one doc can
-    # never form a pair — drop it before the self-join. At 100 TB this
-    # removes the long tail (most shingles are unique), shrinking the
-    # join input by ~an order of magnitude; n_sh above is computed BEFORE
-    # the prune so Jaccard denominators are unchanged. The prune is a
-    # count(*) WINDOW over shingle (not a groupBy+join back): one shuffle
-    # produces the pruned frame already hash-partitioned by shingle, and
-    # the merge-hinted self-join then reuses that single exchange for
-    # BOTH sides (ReusedExchange) — the explode+md5 scan runs once, where
-    # the agg+broadcast-join form re-ran it per join side (6 subtrees;
-    # measured 2.0x slower end-to-end at sf0.1).
-    w = Window.partitionBy("shingle")
-    pruned = (
-        sh.withColumn("df_", F.count("*").over(w))
-        .filter(F.col("df_") > 1)
-        .drop("df_")
-    )
-    a, b = pruned.alias("a"), pruned.alias("b")
-    common = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    card, common = _shingle_card_common(_docs(spark, sf_dir))
     ca, cb = card.alias("ca"), card.alias("cb")
     jac = F.col("n_common") * 1_000_000.0 / (
         F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
@@ -197,16 +239,7 @@ CONTAIN_MIN_PPM = 100_000  # 10% one-sided overlap
 @query(
     "q_dedup_containment",
     f"""
-    WITH sh0 AS (
-        SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM documents
-    ),
-    sh AS (SELECT doc_id, {h32_sql('s')} AS shingle FROM sh0),
-    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {_POSTINGS_CTES}
     SELECT doc_a, doc_b, n_common,
            CAST(floor(n_common * 1000000.0 / ca.n_sh) AS BIGINT) AS cont_a_ppm,
            CAST(floor(n_common * 1000000.0 / cb.n_sh) AS BIGINT) AS cont_b_ppm
@@ -222,36 +255,14 @@ CONTAIN_MIN_PPM = 100_000  # 10% one-sided overlap
     "tiny relative to the union), while containment flags exactly that "
     "— boilerplate extraction, quotation and subset-document detection "
     "in training-corpus prep. Same 100 TB shape as the Jaccard query "
-    "(window-pruned postings, one reused exchange for both join "
-    "sides); only the scoring differs. Extra: how-variant of "
-    "q_dedup_ngram_jaccard.",
+    "(df-BETWEEN-pruned postings per the DF_CEIL recall contract, one "
+    "reused exchange for both join sides); only the scoring differs. "
+    "Extra: how-variant of q_dedup_ngram_jaccard.",
     tags=("dedup",),
     extra=True,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
-    ).select("doc_id", h32(F.col("s")).alias("shingle"))
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    w = Window.partitionBy("shingle")
-    pruned = (
-        sh.withColumn("df_", F.count("*").over(w))
-        .filter(F.col("df_") > 1)
-        .drop("df_")
-    )
-    a, b = pruned.alias("a"), pruned.alias("b")
-    common = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    card, common = _shingle_card_common(_docs(spark, sf_dir))
     ca, cb = card.alias("ca"), card.alias("cb")
     cont_a = F.col("n_common") * 1_000_000.0 / F.col("ca.n_sh")
     cont_b = F.col("n_common") * 1_000_000.0 / F.col("cb.n_sh")

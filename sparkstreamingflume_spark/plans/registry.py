@@ -78,78 +78,78 @@ def primary_queries() -> dict[str, Query]:
 # Per-round driver certification window.
 #
 # The driver certifies at most 50 queries()/oracle_sql() entries per round,
-# but the registry holds 93. Rather than burning the same 50 slots every
-# round, the window ROTATES. Round-5 rationale: round 4's events fixtures
-# changed ts encoding and broke every events-backed query at analysis time
-# (session.py load_table, fixed this round), so the window re-certifies the
-# ENTIRE events blast radius (22 queries — incl. the 6 never-green
-# casualties q_approx_aggs / q_approx_count_distinct / q_json_typed /
-# q_lag_delta / q_moving_window / q_sketch_rollup), adds q_rep_filter (the
-# last registry entry with no driver row ever), the six line-op queries
-# whose shared corpus gained a CR-suffixed branch this round (certifying
-# the \z end-of-input semantics at the driver, functions/lines.py:44-51),
-# q_dedup_candidates_verified (candidate frame now materialized once), the
-# 12 bench headliners, and regression anchors. Queries OUTSIDE the window
-# stay cross-engine-certified every run by tools/validate.py and
-# tests/test_oracle_extras.py (same compare).
+# but the registry holds more (len(REGISTRY) — don't hard-code it; the
+# count drifts as operators land). Rather than burning the same 50 slots
+# every round, the window ROTATES. Round-6 rationale: the top priority is
+# the SIX registry entries that have never had a driver row (the round-5
+# newcomers — round 5's window correctly spent its slots re-certifying the
+# events blast radius instead); with them green, every registry query has
+# a driver row in some round. Next come the queries whose PLAN changed
+# this round (the inverted-index family gained the DF_CEIL stop-shingle
+# cutoff; q_sample_per_group was rewritten to the per-partition top-K
+# form), the 12 bench headliners (fresh rows alongside BENCH_r06), and
+# the stalest remainder — everything whose last green row is round 3,
+# then a round-4 slice prioritizing §2 anchors and one query per family.
+# Queries OUTSIDE the window stay cross-engine-certified every run by
+# tools/validate.py and tests/test_oracle_extras.py (same compare).
 # ---------------------------------------------------------------------------
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- never driver-certified: last gap in the ledger ---------------------
-    "q_rep_filter",
-    # -- events blast radius: every query the r4 loader break took down -----
-    "q_approx_aggs",
-    "q_approx_count_distinct",
-    "q_asof_join",
-    "q_broadcast_join",
-    "q_count_distinct",
-    "q_date_bucket",
-    "q_enrich_join_salted",
-    "q_fanout_dup",
-    "q_json_extract",
-    "q_json_typed",
-    "q_lag_delta",
-    "q_left_join_default",
-    "q_moving_window",
-    "q_pagerank",
-    "q_pivot",
-    "q_project_kv",
-    "q_range_join",
-    "q_sessionize",
-    "q_sketch_rollup",
-    "q_time_rollup",
-    "q_window_sliding",
-    "q_window_tumbling",
-    # -- line-op family: corpus gained the CR-suffixed branch this round ----
-    "q_field_extract",
-    "q_md5_mask",
-    "q_md5_mask_multi",
-    "q_field_drop",
-    "q_project_44to10",
-    "q_dirty_filter",
-    "q_gprs_pipeline",
-    "q_filter_prefix",
-    "q_count_by_type",
-    "q_cluster_sort",
-    "q_union",
-    "q_group_concat",
-    # -- changed this round: candidate frame materialized once --------------
-    "q_dedup_candidates_verified",
-    # -- remaining bench headliners + regression anchors --------------------
-    "q_tpch_q1",
-    "q_join_bigbig",
-    "q_dedup_exact",
-    "q_dedup_minhash",
+    # -- never driver-certified: the round-5 newcomers ----------------------
+    "q_dedup_containment",
+    "q_dedup_embed_lsh",
+    "q_doc_chunk",
+    "q_sample_per_group",
+    "q_session_window",
+    "q_tfidf",
+    # -- plan changed this round (DF_CEIL prune; top-K sampler) -------------
     "q_dedup_ngram_jaccard",
+    "q_dedup_candidates_verified",
+    # -- bench headliners (fresh rows alongside BENCH_r06) ------------------
+    "q_tpch_q1",
+    "q_window_sliding",
+    "q_dedup_exact",
+    "q_join_bigbig",
     "q_embed_topk",
+    "q_broadcast_join",
+    "q_dedup_minhash",
+    "q_group_concat",
+    "q_sessionize",
+    "q_gprs_pipeline",
     "q_corpus_prep",
-    "q_lookup_build",
-    "q_cluster_sort_bucketed",
-    "q_count_by_type_salted",
-    "q_dedup_simhash",
-    "q_dedup_clusters",
-    "q_dedup_keep_best",
-    "q_dedup_embed_cosine",
+    # -- stalest: last driver row was round 3 -------------------------------
+    "q_dedup_simhash_pairs",
+    "q_doc_fingerprint",
+    "q_embed_ivf_search",
+    "q_grouping_sets",
+    "q_multimodal_meta",
+    "q_percentile",
+    "q_rank_topn_per_group",
+    "q_semi_anti",
+    "q_set_ops",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_topterms",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    # -- round-4 slice: §2 anchors + one per relational family --------------
+    "q_anti_join",
+    "q_semi_join",
+    "q_count",
+    "q_approx_percentile",
+    "q_cube",
+    "q_rollup",
+    "q_distinct",
+    "q_except",
+    "q_intersect",
+    "q_histogram",
+    "q_topk",
+    "q_subqueries",
+    "q_window_suite",
+    "q_embed_ivf",
+    "q_dedup_embed_cosine_bruteforce",
+    "q_token_count",
 )
 
 

@@ -1016,7 +1016,12 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(estimate-vs-exact, both computed Spark-side); the oracle emits "
     "the exact values and literal TRUE — the driver hash genuinely "
     "certifies the tolerance claim cross-engine (round-3 verdict "
-    "task 3). tests/test_approx.py pins the raw estimates too.",
+    "task 3). The percentile verdicts are RANK-space (estimate inside "
+    "the exact ±0.01-quantile band) — that is what GK actually "
+    "guarantees; a value-relative band is ill-posed in sparse tails, "
+    "where one rank step can exceed any fixed percentage of the value "
+    "(observed at sf0.001: the p95 neighbor gap is >1% of p95). "
+    "tests/test_approx.py pins the raw estimates too.",
     tags=("relational", "agg", "approx"),
 )
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,8 +1029,13 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_users = F.approx_count_distinct("user_id", 0.01)
     exact_users = F.countDistinct("user_id")
     approx_p = F.expr("approx_percentile(value, array(0.5, 0.95), 10000)")
-    e50 = F.expr("percentile(value, 0.5)")
-    e95 = F.expr("percentile(value, 0.95)")
+    # exact interpolated quantiles at q ± 0.01: with accuracy 10000 the GK
+    # rank error is n/10000 ranks, far inside the ±0.01·n band for any
+    # fixture n, and the band additionally absorbs the one-rank
+    # discretization between the sketch's discrete element and the
+    # interpolated exact percentile (needs n >= ~100 per group; smallest
+    # fixture group is 199 at sf0.001)
+    bands = F.expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))")
     return ev.groupBy("event_type").agg(
         exact_users.alias("n_users"),
         F.count("*").alias("n_events"),
@@ -1033,8 +1043,8 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_users - exact_users)
             <= F.greatest(F.lit(1.0), exact_users.cast("double") * 0.05)
         ).alias("hll_within_5pct"),
-        (F.abs(approx_p[0] - e50) <= F.abs(e50) * 0.01).alias("p50_within_1pct"),
-        (F.abs(approx_p[1] - e95) <= F.abs(e95) * 0.01).alias("p95_within_1pct"),
+        (approx_p[0].between(bands[0], bands[1])).alias("p50_within_1pct"),
+        (approx_p[1].between(bands[2], bands[3])).alias("p95_within_1pct"),
     )
 
 

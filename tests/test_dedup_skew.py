@@ -1,0 +1,87 @@
+"""Adversarial bounded-pairs fixture for the DF_CEIL stop-shingle cutoff.
+
+A boilerplate sentence injected into 20% of a corpus makes its shingles'
+document frequency grow linearly with corpus size D, so without an upper
+df cutoff the posting self-join emits O((0.2*D)^2) candidate rows — the
+one inverted-index plan shape that does not survive a 100x scale-up
+(AQE skew-splitting rebalances partitions but cannot reduce the
+quadratic pair COUNT). The fixture corpora cannot exercise the ceiling
+(max shingle df is 25 at sf0.1), so this synthetic corpus certifies:
+
+1. the engagement point — boilerplate df <= DF_CEIL keeps its pairs,
+   df > DF_CEIL drops them, so doubling the corpus DECREASES pair
+   output instead of quadrupling it;
+2. Spark and the DuckDB oracle still hash-match on a corpus where the
+   ceiling IS active (the driver fixtures never reach it).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sparkstreamingflume_spark.oracle import compare, duck_fetch
+from sparkstreamingflume_spark.plans import REGISTRY
+from sparkstreamingflume_spark.plans.extension_queries import DF_CEIL
+
+# 7 tokens each -> 5 internal 3-gram shingles; no token overlap between
+# the two sentences or with the per-doc unique filler words.
+BOILER = "please subscribe to our newsletter for updates"  # in 20% of docs
+RARE = "this rare footer appears in few documents"  # in 1% of docs
+
+
+def _corpus(tmp_path, n_docs: int) -> str:
+    """documents.parquet with BOILER in every 5th doc, RARE in every 100th."""
+    out = tmp_path / f"adv{n_docs}"
+    out.mkdir()
+    ids, texts = [], []
+    for i in range(n_docs):
+        t = " ".join(f"w{i}x{j}" for j in range(12))  # unique filler
+        if i % 5 == 0:
+            t += " " + BOILER
+        if i % 100 == 0:
+            t += " " + RARE
+        ids.append(i)
+        texts.append(t)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(["adv"] * n_docs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ["q_dedup_ngram_jaccard", "q_dedup_containment"])
+def test_df_ceiling_bounds_boilerplate_pairs(spark, tmp_path, name):
+    # D=400: boilerplate df = 80 <= DF_CEIL -> its C(80,2)=3160 pairs emit.
+    # D=800: boilerplate df = 160 > DF_CEIL -> stop-shingles dropped; only
+    # the 8 RARE docs (df=8) still pair: C(8,2)=28 rows. Without the
+    # ceiling the doubled corpus would emit C(160,2)=12720 pairs (~4x).
+    assert 80 <= DF_CEIL < 160, "fixture sized around the shipped ceiling"
+    small, big = _corpus(tmp_path, 400), _corpus(tmp_path, 800)
+    q = REGISTRY[name]
+    assert q.build(spark, small).count() == 3160
+    big_df = q.build(spark, big)
+    big_rows = [tuple(r) for r in big_df.collect()]
+    assert len(big_rows) == 28
+    # the linear-bound statement: doubling D must not ~quadruple output
+    assert len(big_rows) <= 2 * 3160
+
+    # cross-engine certification on the ceiling-active corpus
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{big}/documents.parquet'"
+        )
+        ocols, orows = duck_fetch(con, q.oracle)
+        problems = compare(big_df.columns, big_rows, ocols, orows)
+        assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()

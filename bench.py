@@ -35,6 +35,15 @@ def main() -> None:
     spark = get_session("bench")
 
     names = sorted(n for n, q in REGISTRY.items() if q.bench)
+    # opt-in extra timings (tools/scale_probe.py probes non-headliner
+    # operators through the same harness): comma-separated registry names
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    for name in filter(None, (n.strip() for n in extra.split(","))):
+        if name not in REGISTRY:
+            sys.exit(f"SPARK_GRAFT_BENCH_EXTRA names unknown query {name!r}")
+        if name not in names:
+            names.append(name)
+    names.sort()
 
     def run(name: str) -> float:
         t0 = time.time()

@@ -284,11 +284,13 @@ def _bmff_boxes(b: bytes, start: int, end: int):
         btype = b[pos + 4 : pos + 8]
         head = 8
         if size == 1:
+            if pos + 16 > end:  # largesize would overrun the enclosure
+                raise ValueError(f"BMFF: truncated largesize box {btype!r}")
             (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
             head = 16
         elif size == 0:
             size = end - pos
-        if size < head:
+        if size < head or pos + size > end:
             raise ValueError(f"BMFF: box {btype!r} with impossible size {size}")
         yield btype, pos + head, pos + size
         pos += size
@@ -315,7 +317,9 @@ def decode_video_real(payload: bytes) -> tuple[int, int, int, int]:
         n_tracks = 0
         for ctype, cs, ce in _bmff_boxes(b, ps, pe):
             if ctype == b"mvhd":
-                version = b[cs]
+                version = b[cs] if ce > cs else 0
+                if ce - cs < (32 if version == 1 else 20):
+                    raise ValueError("BMFF: truncated mvhd box")
                 if version == 1:
                     scale, dur = struct.unpack(">IQ", b[cs + 20 : cs + 32])
                 else:
@@ -327,7 +331,11 @@ def decode_video_real(payload: bytes) -> tuple[int, int, int, int]:
                     continue
                 for ttype, ts, te in _bmff_boxes(b, cs, ce):
                     if ttype == b"tkhd":
+                        if te <= ts:
+                            raise ValueError("BMFF: truncated tkhd box")
                         off = ts + (88 if b[ts] == 1 else 76)
+                        if off + 8 > te:
+                            raise ValueError("BMFF: truncated tkhd box")
                         w16, h16 = struct.unpack(">II", b[off : off + 8])
                         if w16 and h16:
                             width, height = w16 >> 16, h16 >> 16

@@ -1206,7 +1206,11 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fits executor storage even at 100 TB input; disk spill is the "
     "safety valve) and every reference reads the InMemoryRelation "
     "instead of re-running the explode+minhash+band subtree "
-    "(plan-asserted single-computation by tests/test_contract.py).",
+    "(plan-asserted single-computation by tests/test_contract.py). "
+    "Lifecycle: build() cannot know when its caller's action finishes, "
+    "so it does not unpersist; loop-style callers (tools/validate.py) "
+    "clearCache() between queries, and a pipeline run holds exactly one "
+    "small candidate frame for its duration.",
     tags=("dedup",),
 )
 def q_dedup_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,23 +1775,41 @@ SAMPLE_K_PER_GROUP = 25
     "across engines, runs, and partitionings (rand()-based reservoirs "
     "are not), with doc_id as a total tie-break. Complements "
     "q_sample_stratified (fixed RATE per stratum) with fixed COUNT per "
-    "stratum — the eval-set / few-shot-pool builder. One shuffle on "
-    "source; at 100 TB swap the full window sort for a per-partition "
-    "top-K + merge (TakeOrdered per group) if |group| >> K — the "
-    "hash-rank semantics are identical. Extra: certified by the pytest "
-    "oracle gate.",
+    "stratum — the eval-set / few-shot-pool builder. Implemented as "
+    "per-partition top-K + merge, NOT one row_number window over "
+    "source: stage 1 ranks within (input-partition, source) — sort "
+    "memory bounded by an input split (~128 MB) no matter how big a "
+    "source is, parallelism |partitions|×|sources| instead of "
+    "|sources| — and keeps K rows per cell, a superset of the global "
+    "per-source top-K; stage 2 re-ranks only the <= K×|partitions| "
+    "survivors. With few huge sources at 100 TB the single-window form "
+    "sorts each source in ONE task (the plan a skewed corpus kills); "
+    "equivalence of the two forms is pinned by tests (hash-rank "
+    "semantics are placement-invariant). Extra: certified by the "
+    "pytest oracle gate.",
     tags=("text", "pipeline", "sampling"),
     extra=True,
 )
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        h32(F.col("doc_id").cast("string")), F.col("doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        h32(F.col("doc_id").cast("string")).alias("h_"),
+        F.spark_partition_id().alias("pid_"),
     )
+    w1 = Window.partitionBy("pid_", "source").orderBy("h_", "doc_id")
+    survivors = (
+        ranked.withColumn("rn1_", F.row_number().over(w1))
+        .filter(F.col("rn1_") <= SAMPLE_K_PER_GROUP)
+        .drop("rn1_", "pid_")
+    )
+    w2 = Window.partitionBy("source").orderBy("h_", "doc_id")
     return (
-        d.select("doc_id", "source", "lang")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
         .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
+        .select("doc_id", "source", "lang", "rn")
     )
 
 

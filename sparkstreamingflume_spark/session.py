@@ -130,6 +130,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-size conf string ("128m", "134217728b", "1g") -> bytes."""
+    s = raw.strip().lower()
+    for suf, mult in _SIZE_SUFFIX.items():
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
+def _estimated_scan_tasks(df) -> int | None:
+    """Driver-side estimate of a file-backed frame's scan parallelism:
+    ceil(total file bytes / maxPartitionBytes). None for non-file frames
+    (range, in-memory, streaming) — callers fall back to the exact probe.
+    Uses the already-materialized file index (``inputFiles``) + local FS
+    stats, avoiding the full analysis + physical-planning pass that
+    ``df.rdd.getNumPartitions()`` forces per wrapped scan.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        if not os.path.exists(path):
+            return None  # non-local FS — let the caller use the exact probe
+        total += os.path.getsize(path)
+    mpb = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    return max(1, -(-total // mpb))
+
+
 def widen_if_narrow(df, min_partitions: int | None = None):
     """Repartition ``df`` up to the cluster width IF its scan is narrower.
 
@@ -143,9 +181,16 @@ def widen_if_narrow(df, min_partitions: int | None = None):
     shuffle exists only where the input is pathologically narrow, never
     at scale. Round-robin repartition: row-order-independent results
     only (every certified query compares order-insensitively).
+
+    The narrowness probe is a size estimate over the scan's file list
+    (no extra planning pass); only non-file frames pay the exact
+    ``rdd.getNumPartitions()`` probe.
     """
     spark = df.sparkSession
     want = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, want // 2):
+    width = _estimated_scan_tasks(df)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width < max(2, want // 2):
         return df.repartition(want)
     return df

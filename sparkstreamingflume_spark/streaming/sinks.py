@@ -57,6 +57,23 @@ def dual_write(
         batch.unpersist()
 
 
+def write_batch_parquet_idempotent(batch: DataFrame, batch_id: int, path: str) -> None:
+    """Exactly-once parquet sink for foreachBatch: every micro-batch
+    OVERWRITES its own ``batch_id=<id>`` partition dir.
+
+    The plain ``mode("append")`` foreachBatch sink is at-least-once under
+    a mid-stream kill: a batch whose sink write committed but whose
+    offset-log commit didn't is REPLAYED on checkpoint recovery and
+    appends duplicates. Keying the write by batch_id makes the replay
+    rewrite the same directory with the same rows — idempotent, hence
+    exactly-once end-to-end (the recipe Structured Streaming documents
+    for non-transactional stores). Readers union the batches via
+    partition discovery on ``path``; in-flight kill debris stays in
+    ``_temporary`` dirs, which Spark's file listing hides.
+    Certified by tests/test_streaming.py restart-under-load."""
+    batch.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
 def start_pipeline(
     stream_df: DataFrame,
     sink: Callable[[DataFrame, int], None],

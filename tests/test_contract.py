@@ -306,3 +306,42 @@ def test_inverted_index_self_join_reuses_exchange(spark, name):
     assert plan.count("ReusedExchange") >= 1, (
         f"{name}: self-join sides no longer share the shingle exchange:\n" + plan
     )
+
+
+def test_sample_per_group_is_partition_bounded_topk(spark):
+    """q_sample_per_group must be the per-partition top-K + merge form,
+    not one row_number window over source: with few huge sources at
+    100 TB the single-window form sorts each source in ONE task. The
+    plan must show TWO Window nodes, the first partitioned by
+    (spark_partition_id, source) — its sort is bounded by an input
+    split — and the result must equal the naive single-window form
+    (hash-rank is placement-invariant, so the two are semantically
+    identical on any partitioning)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        SAMPLE_K_PER_GROUP,
+        _docs,
+    )
+
+    df = REGISTRY["q_sample_per_group"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, "missing two-stage window plan:\n" + plan
+    assert "SPARK_PARTITION_ID" in plan.upper(), (
+        "stage-1 window no longer bounded per input partition:\n" + plan
+    )
+
+    from sparkstreamingflume_spark.functions.text import h32
+
+    naive_w = Window.partitionBy("source").orderBy(
+        h32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = (
+        _docs(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(naive_w).cast("long"))
+        .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, naive.collect()))

@@ -18,9 +18,10 @@ import pytest
 SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") if os.path.isdir(d)]
 
 # expected Spark simpleString dtypes AFTER load_table normalization.
-# events.ts must come out timestamp-typed regardless of the parquet
-# encoding (legacy nanos-as-long gets converted; timestamp[us] passes
-# through as timestamp_ntz).
+# events.ts must come out session-tz "timestamp" regardless of the parquet
+# encoding: legacy nanos-as-long is truncated to micros and re-tagged, and
+# a timestamp[us] (read as timestamp_ntz) is cast to timestamp — both
+# normalizations happen inside load_table.
 EXPECTED = {
     "region": {"r_regionkey": "int", "r_name": "string"},
     "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},

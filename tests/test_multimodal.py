@@ -320,6 +320,39 @@ def test_real_video_codec_parses_bmff_header():
         MM.decode_video_real(box(b"ftyp", b"isom"))
 
 
+def test_real_video_codec_truncated_bytes_raise_valueerror():
+    """Malformed/truncated BMFF must fail with the DOCUMENTED ValueError,
+    never a leaked struct.error (size==1 with no room for the 64-bit
+    largesize; mvhd/tkhd payloads shorter than their fixed layouts)."""
+    import struct
+
+    ftyp = box(b"ftyp", b"isom")
+    # size==1 (largesize follows) but fewer than 16 bytes remain
+    trunc_large = ftyp + struct.pack(">I", 1) + b"moov" + b"\x00" * 4
+    with pytest.raises(ValueError):
+        MM.decode_video_real(trunc_large)
+    # mvhd payload shorter than the version-0 fixed offsets
+    with pytest.raises(ValueError):
+        MM.decode_video_real(ftyp + box(b"moov", box(b"mvhd", b"\x00" * 8)))
+    # v1 mvhd flag but only a v0-sized payload
+    with pytest.raises(ValueError):
+        MM.decode_video_real(
+            ftyp + box(b"moov", box(b"mvhd", struct.pack(">B3x", 1) + b"\x00" * 20))
+        )
+    # tkhd payload shorter than the width/height offsets
+    good_mvhd = box(
+        b"mvhd", struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, 600, 600)
+        + b"\x00" * 80
+    )
+    bad_trak = box(b"trak", box(b"tkhd", struct.pack(">B3x", 0) + b"\x00" * 8))
+    with pytest.raises(ValueError):
+        MM.decode_video_real(ftyp + box(b"moov", good_mvhd + bad_trak))
+    # inner box overrunning its enclosure
+    lying = struct.pack(">I", 4096) + b"mvhd" + b"\x00" * 20
+    with pytest.raises(ValueError):
+        MM.decode_video_real(ftyp + box(b"moov", lying))
+
+
 def test_decode_video_real_and_fake_paths(spark, media_df):
     import hashlib as H
 

@@ -350,6 +350,74 @@ def test_dual_lookup_equals_per_partner_single(spark, lookup, lookup2):
         assert dual == single, how
 
 
+def test_restart_under_load_exactly_once(spark, tmp_path, lookup, lookup2):
+    """W4 under load (round-5 verdict task 7): kill the continuously
+    triggering dual-partner pipeline MID-STREAM (files still pending,
+    possibly a batch in flight), drop more files while it is down,
+    restart from the same checkpoint, and require the final output
+    multiset to equal the batch pipeline over ALL input — no loss, no
+    replay duplicates. Uses the idempotent per-batch_id sink: the
+    append sink is only at-least-once under a mid-stream kill
+    (reference analog: ssc.getOrCreate restart,
+    src/StreamingFlumeProcess.scala:245-248)."""
+    lines = corpus(30)
+    maps = {"yaxin": lookup, "yiyang": lookup2}
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    chunks = [lines[i::10] for i in range(10)]
+    for i, chunk in enumerate(chunks[:7]):
+        (landing / f"pre{i}.txt").write_text("\n".join(chunk) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch, batch_id):
+        sinks.write_batch_parquet_idempotent(batch, batch_id, out)
+
+    stream = sources.file_drop(spark, str(landing), max_files_per_trigger=1)
+    q = sinks.start_pipeline(
+        pipeline.routed_pipeline_dual(stream, maps, how="inner"),
+        sink,
+        ckpt,
+        query_name="t_restart_load",
+    )
+    # kill as soon as a couple of batches have committed — 5 files are
+    # still pending, so the stop lands mid-stream
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = len(list(Path(out).glob("batch_id=*"))) if Path(out).exists() else 0
+        if done >= 2:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+
+    # data keeps arriving during the outage
+    for i, chunk in enumerate(chunks[7:]):
+        (landing / f"post{i}.txt").write_text("\n".join(chunk) + "\n")
+
+    stream2 = sources.file_drop(spark, str(landing), max_files_per_trigger=1)
+    q2 = sinks.start_pipeline(
+        pipeline.routed_pipeline_dual(stream2, maps, how="inner"),
+        sink,
+        ckpt,
+        available_now=True,
+        query_name="t_restart_load2",
+    )
+    q2.awaitTermination(180)
+
+    got = Counter(
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    expect = Counter(
+        tuple(r)
+        for r in pipeline.routed_pipeline_dual(df, maps, how="inner").collect()
+    )
+    assert got == expect
+    # the restart actually resumed (did not reprocess from scratch into
+    # fresh batch ids only): pre-kill batch dirs are still part of the set
+    assert len(list(Path(out).glob("batch_id=*"))) >= 2
+
+
 def test_dual_lookup_stream_equals_batch(spark, tmp_path, lookup, lookup2):
     """The dual-partner pipeline streams identically to its batch form."""
     lines = corpus()

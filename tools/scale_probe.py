@@ -23,9 +23,26 @@ import sys
 GATE_RATIO = 15.0
 SF1_DIR = os.path.abspath(".scaledata/sf1")
 
+# Non-headliner operators probed through the same harness (round-5
+# verdict task 4): the round-5/6 newcomers whose scale behavior has no
+# bench row — the LSH band-bucket blowup gate matters most for
+# q_dedup_embed_lsh, and the df-ceiling prune for containment.
+EXTRA_QUERIES = (
+    "q_dedup_containment",
+    "q_dedup_embed_lsh",
+    "q_doc_chunk",
+    "q_sample_per_group",
+    "q_session_window",
+    "q_tfidf",
+)
+
 
 def run_bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_EXTRA=",".join(EXTRA_QUERIES),
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         env=env,

@@ -62,6 +62,10 @@ def main() -> None:
         else:
             print(f"PASS {name}{tag} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+        # drop any frame a query persisted (q_dedup_candidates_verified's
+        # candidate materialization) — otherwise each build() in this loop
+        # registers a fresh InMemoryRelation that lives for the session
+        spark.catalog.clearCache()
 
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)

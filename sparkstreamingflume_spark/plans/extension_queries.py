@@ -190,6 +190,80 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCK_TOKENS = 16  # exact-substring dedup block width
+
+
+@query(
+    "q_dedup_block",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOK} AS arr FROM corpus),
+    blocks0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(arr) // {BLOCK_TOKENS}),
+                   i -> array_to_string(
+                       arr[(i - 1) * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}],
+                       ' '))) AS blk
+        FROM toks
+    ),
+    blocks AS (SELECT doc_id, md5(blk) AS block_hash FROM blocks0)
+    SELECT block_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM blocks GROUP BY block_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    doc="Exact substring-block dedup (the block-granular form of "
+    "exact-substring dedup used in web-corpus prep): every NON-"
+    "overlapping {BLOCK}-token block is content-hashed, and blocks "
+    "appearing in more than one document are reported with occurrence/"
+    "doc counts and a keeper — catching copied passages inside "
+    "otherwise-distinct documents, which whole-document exact dedup "
+    "(q_dedup_exact) misses and shingle Jaccard only scores in "
+    "aggregate. The corpus is doubled (as in q_dedup_exact) so the "
+    "fixture has cross-doc repeats. 100 TB shape: one explode + one "
+    "map-side-combinable agg on a 32-char key — no joins, no windows; "
+    "the indexed-lambda block builder is per-doc n/16 items (explode "
+    "dominates). Extra: certified by the pytest oracle gate.",
+    tags=("dedup",),
+    extra=True,
+)
+def q_dedup_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    arr = tokens("text")
+    nblk = F.floor(F.size(arr) / BLOCK_TOKENS).cast("int")
+    block_list = F.when(
+        nblk >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nblk),
+            lambda i: F.concat_ws(
+                " ", F.slice(arr, (i - 1) * BLOCK_TOKENS + 1, F.lit(BLOCK_TOKENS))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = corpus.select(
+        "doc_id", F.explode(block_list).alias("blk")
+    ).select("doc_id", F.md5("blk").alias("block_hash"))
+    return (
+        blocks.groupBy("block_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 @query(
     "q_dedup_ngram_jaccard",
     f"""
@@ -489,6 +563,77 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOPK)
+    )
+
+
+@query(
+    "q_embed_quantize_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, emb,
+               greatest(list_max(list_transform(emb, y -> abs(y))), 1e-12) AS ma
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(emb, x -> floor(x * 127.0 / ma)) AS qv
+        FROM m
+    ),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+        FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    )
+    SELECT q_id, vec_id, qdot, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY qdot DESC, vec_id) AS rn
+          FROM scored) t
+    WHERE rn <= {TOPK}
+    """,
+    doc="Int8-quantized similarity top-k — the memory-reduction ANN path: "
+    "each vector is scaled by its own max-abs into [-127, 127] integers "
+    "(symmetric per-vector quantization, 4x smaller than float32; at "
+    "100 TB the quantized corpus is what stays resident while full "
+    "vectors live in cold storage), and ranking uses the integer dot "
+    "product — exact in doubles (<= 127²·64 per pair), so both engines "
+    "agree bit-for-bit with no ppm flooring needed. Same broadcast-"
+    "probes / partitioned-corpus / per-query top-k shape as "
+    "q_embed_topk; tests/test_approx.py pins its recall against the "
+    "float baseline. Extra: how-variant of q_embed_topk.",
+    tags=("similarity",),
+    extra=True,
+)
+def q_embed_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    ma = F.greatest(
+        F.array_max(F.transform("emb", lambda y: F.abs(y))), F.lit(1e-12)
+    )
+    quant = e.withColumn("ma", ma).select(
+        "vec_id",
+        F.transform("emb", lambda x: F.floor(x * 127.0 / F.col("ma"))).alias("qv"),
+    )
+    probes = quant.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    corpus = quant.alias("b")
+    qdot = F.aggregate(
+        F.zip_with("a.qv", "b.qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("a.vec_id") != F.col("b.vec_id"), "inner"
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("vec_id"),
+        qdot.alias("qdot"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= TOPK
     )
 
 
@@ -1810,6 +1955,58 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
         .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
         .select("doc_id", "source", "lang", "rn")
+    )
+
+
+@query(
+    "q_train_test_split",
+    f"""
+    WITH s AS (
+        SELECT CASE
+                   WHEN {h32_sql("'s' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                       THEN 'train'
+                   WHEN {h32_sql("'s' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+                       THEN 'valid'
+                   ELSE 'test'
+               END AS split,
+               n_chars, lang
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM s GROUP BY split
+    """,
+    doc="Deterministic hash-based train/valid/test split (90/5/5) with "
+    "per-split sanity stats: assignment is h32 of a salted doc_id, so a "
+    "document's split never changes as the corpus grows or repartitions "
+    "— the property rand()-based splitting lacks and the reason "
+    "eval-contamination audits can be reproduced months later. The "
+    "assignment is a pure per-row projection (no shuffle; at 100 TB it "
+    "runs inside the scan), and the stats rollup is one 3-group "
+    "combinable agg. Pairs with q_contamination (checking test/train "
+    "leakage) and q_sample_per_group (building eval pools). Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("text", "pipeline", "sampling"),
+    extra=True,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = h32(F.concat(F.lit("s"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 90, F.lit("train")).when(h < 95, F.lit("valid")).otherwise(
+            F.lit("test")
+        )
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
     )
 
 

@@ -112,6 +112,33 @@ def test_hyperplane_lsh_pairs_recall_vs_bruteforce(spark):
     assert len(lsh) / len(bf) >= 0.02, (len(lsh), len(bf))
 
 
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    """Int8 per-vector quantization must preserve most of each query's
+    float-cosine top-k: per-query overlap vs q_embed_topk averaged over
+    the probe set. The bound is loose on purpose — the synthetic
+    embeddings are near-random, so neighbor scores bunch together and
+    quantization noise can reorder the tail; on real clustered
+    embeddings int8 symmetric quantization holds ~0.95+ recall@k.
+    (Note the quantized ranking drops the norm: q_embed_topk ranks by
+    cosine, the quantized form by scaled dot product — for unit-norm-ish
+    synthetic vectors the orderings mostly agree, which is what this
+    pins.)"""
+    from collections import defaultdict
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = defaultdict(set)
+    for r in REGISTRY["q_embed_topk"].build(spark, sf).collect():
+        exact[r.q_id].add(r.vec_id)
+    quant = defaultdict(set)
+    for r in REGISTRY["q_embed_quantize_topk"].build(spark, sf).collect():
+        quant[r.q_id].add(r.vec_id)
+    assert set(quant) == set(exact)  # same probe set, k hits per query
+    recalls = [len(quant[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The as-of must be the union-merge form: no join operator at all,
     one window over one hash exchange on user_id."""

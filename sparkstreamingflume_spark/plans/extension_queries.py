@@ -364,6 +364,37 @@ _SIG_SQL_COLS = ", ".join(
 )
 
 
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, b, band_hash) MinHash LSH band buckets for ``d``.
+
+    Explode shingles ONCE, compute the N_PERM permutation hashes as flat
+    columns (whole-stage codegen — nested transform() lambdas fall back
+    to interpreted eval, measured 40x slower), min-aggregate into
+    signatures (map-side combinable), then band into N_BANDS md5 bucket
+    keys. Callers filter to docs with >= 3 tokens first (shorter docs
+    have no shingles and would all collide on the empty signature).
+    """
+    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
+    hashed = sh.select("doc_id", h32(F.col("s")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + c) % _MH_P).alias(f"s{j}")
+            for j, (a, c) in enumerate(_MH_AC)
+        ]
+    )
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"s{b * 4 + r}").cast("string") for r in range(4)]
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("b", "band_hash")
+    )
+
+
 @query(
     "q_dedup_minhash",
     f"""
@@ -402,25 +433,7 @@ _SIG_SQL_COLS = ", ".join(
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
-    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
-    hashed = sh.select("doc_id", h32(F.col("s")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + c) % _MH_P).alias(f"s{j}")
-            for j, (a, c) in enumerate(_MH_AC)
-        ]
-    )
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"s{b * 4 + r}").cast("string") for r in range(4)]
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("b", "band_hash")
-    )
+    bands = _minhash_bands(d)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -2295,4 +2308,208 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.size(tokens("text")) < 3, 1).otherwise(0))
         .cast("long")
         .alias("n_short_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup + unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+# Hash split for the incremental-dedup scenario: 80% of docs play the
+# retained corpus, the rest arrive as "today's batch". Same salted-h32
+# assignment discipline as q_train_test_split, so the scenario is
+# reproducible across engines and rounds.
+INC_BASE_PCT = 80
+
+_BAND_CASE_SQL = (
+    "CASE b "
+    + " ".join(
+        f"WHEN {b} THEN md5("
+        + " || ',' || ".join(f"s{b * 4 + r}::VARCHAR" for r in range(4))
+        + ")"
+        for b in range(N_BANDS)
+    )
+    + " END"
+)
+
+
+@query(
+    "q_dedup_incremental",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    split AS (
+        SELECT doc_id, text,
+               ({h32_sql("'inc' || CAST(doc_id AS VARCHAR)")} % 100
+                    < {INC_BASE_PCT}) AS is_base
+        FROM corpus
+    ),
+    bexact AS (SELECT DISTINCT md5(text) AS sig FROM split WHERE is_base),
+    sh0 AS (
+        SELECT doc_id, is_base, unnest({_SH}) AS s FROM split
+        WHERE len({_TOK}) >= 3
+    ),
+    hashed AS (SELECT doc_id, is_base, {h32_sql('s')} AS h FROM sh0),
+    sigs AS (SELECT doc_id, is_base, {_SIG_SQL_COLS}
+             FROM hashed GROUP BY doc_id, is_base),
+    bands AS (
+        SELECT doc_id, is_base, b, {_BAND_CASE_SQL} AS band_hash
+        FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
+    ),
+    bbands AS (SELECT DISTINCT b, band_hash FROM bands WHERE is_base),
+    near AS (
+        SELECT DISTINCT i.doc_id
+        FROM bands i JOIN bbands bb
+          ON i.b = bb.b AND i.band_hash = bb.band_hash
+        WHERE NOT i.is_base
+    )
+    SELECT i.doc_id,
+           CAST(CASE WHEN md5(i.text) IN (SELECT sig FROM bexact)
+                THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+           CAST(CASE WHEN i.doc_id IN (SELECT doc_id FROM near)
+                THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+           CAST(CASE WHEN md5(i.text) NOT IN (SELECT sig FROM bexact)
+                      AND i.doc_id NOT IN (SELECT doc_id FROM near)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM split i WHERE NOT is_base
+    """,
+    doc="Incremental dedup: flag an INCOMING batch against the RETAINED "
+    "corpus instead of re-deduping the world — the shape every "
+    "continuously-ingesting 100 TB pipeline actually runs (CommonCrawl "
+    "snapshot N+1 vs the accumulated corpus). The corpus side is reduced "
+    "to two small indexes — distinct md5(text) content signatures and "
+    "distinct MinHash LSH (band, bucket) keys (same _minhash_bands "
+    "construction q_dedup_minhash certifies) — and the batch probes them "
+    "with two LEFT SEMI joins; per-doc flags come from broadcast marker "
+    "joins. At 100 TB the two indexes are PERSISTED tables maintained "
+    "additively (append today's survivors' signatures), so daily cost is "
+    "O(|batch| + |index probe|), never O(|corpus|²) — and the semi-join "
+    "probes are equi-joins on signature/bucket keys, broadcastable when "
+    "the batch is small and hash-partitioned otherwise. Fixture scenario: "
+    "the corpus is doubled (every text gains an exact replica, same trick "
+    "as q_dedup_exact — the raw fixture has zero identical texts) then "
+    "split 80/20 by salted h32, so both engines reproduce a batch where "
+    "most docs really do collide with the corpus. Extra: certified by "
+    "the pytest oracle gate.",
+    tags=("dedup", "pipeline"),
+    extra=True,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    is_base = (
+        h32(F.concat(F.lit("inc"), F.col("doc_id").cast("string"))) % 100
+        < INC_BASE_PCT
+    )
+    split = corpus.select("doc_id", "text", is_base.alias("is_base"))
+    base, inc = split.filter("is_base"), split.filter(~F.col("is_base"))
+
+    bexact = base.select(F.md5("text").alias("sig")).distinct()
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("sig"))
+        .join(bexact, "sig", "leftsemi")
+        .select("doc_id", F.lit(1).alias("e"))
+    )
+
+    eligible = split.filter(F.size(tokens("text")) >= 3)
+    bands = _minhash_bands(eligible.select("doc_id", "text")).join(
+        eligible.select("doc_id", "is_base"), "doc_id"
+    )
+    bbands = bands.filter("is_base").select("b", "band_hash").distinct()
+    near = (
+        bands.filter(~F.col("is_base"))
+        .join(bbands, ["b", "band_hash"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("n"))
+    )
+
+    return (
+        inc.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(0)).cast("long").alias("exact_dup"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("near_dup"),
+            (F.col("e").isNull() & F.col("n").isNull())
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+# Unigram-LM quality gate: mean corpus-frequency of a doc's tokens in ppm.
+# Docs made of globally-rare tokens (gibberish, OCR noise, base64 blobs)
+# score low; the threshold keeps the common-language mass. Chosen at the
+# 10th percentile of the fixture distribution so the gate is non-trivial.
+LM_MIN_MEAN_PPM = 33_000
+
+
+@query(
+    "q_lm_score",
+    f"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM tok0 GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT t.doc_id,
+           count(*) AS n_tok,
+           CAST(sum(f.cnt * 1000000 // tot.total) // count(*) AS BIGINT)
+               AS mean_ppm,
+           CAST(min(f.cnt * 1000000 // tot.total) AS BIGINT) AS rare_ppm,
+           CAST(CASE WHEN sum(f.cnt * 1000000 // tot.total) // count(*)
+                          >= {LM_MIN_MEAN_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM tok0 t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality score (CCNet-style perplexity-filter proxy): "
+    "each token instance is scored by its corpus-wide relative frequency "
+    "(integer ppm — a libm log would risk cross-engine last-ulp drift; "
+    "mean relative frequency ranks docs the same way mean log-prob does "
+    "for a unigram LM), and a doc's score is the integer mean over its "
+    "tokens, with the rarest-token ppm as a companion signal and a keep "
+    "gate at the 10th-percentile threshold. Spark shape: the frequency "
+    "table is one map-side-combinable agg over the token explode; the "
+    "grand total is a broadcast 1-row aggregate (never a driver "
+    "collect); scoring re-joins tokens to frequencies on the token key "
+    "— broadcastable when |vocab| fits, hash join otherwise — and the "
+    "per-doc rollup is combinable. Two shuffles over token instances "
+    "plus one over docs; no all-pairs anything. At 100 TB the frequency "
+    "table is computed once per corpus snapshot and REUSED across "
+    "filter runs, exactly like a real LM-filter's frozen reference "
+    "model. Extra: certified by the pytest oracle gate.",
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok0 = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = tok0.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    ppm = F.expr("cnt * 1000000 div total")
+    scored = (
+        tok0.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(ppm).alias("sum_ppm"),
+            F.min(ppm).alias("rare_ppm"),
+        )
+        .withColumn("mean_ppm", F.expr("sum_ppm div n_tok").cast("long"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "mean_ppm",
+        F.col("rare_ppm").cast("long").alias("rare_ppm"),
+        (F.col("mean_ppm") >= LM_MIN_MEAN_PPM).cast("long").alias("keep"),
     )

@@ -34,6 +34,12 @@ EXTRA_QUERIES = (
     "q_sample_per_group",
     "q_session_window",
     "q_tfidf",
+    # round-6 additions
+    "q_dedup_block",
+    "q_embed_quantize_topk",
+    "q_train_test_split",
+    "q_dedup_incremental",
+    "q_lm_score",
 )
 
 

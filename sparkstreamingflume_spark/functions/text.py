@@ -85,3 +85,55 @@ def shingles_sql(expr: str, k: int = 3) -> str:
         f"list_transform(generate_series(1, greatest(len({arr}) - {k - 1}, 0)),"
         f" i -> {gram})"
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH band buckets (shared by the batch dedup queries and the
+# streaming incremental-dedup sink)
+# ---------------------------------------------------------------------------
+
+N_PERM = 16  # MinHash permutations
+N_BANDS = 4  # LSH bands (4 rows per band)
+
+# Affine permutation family over one base hash: h_j(s) = (a_j*h32(s)+c_j)
+# mod p. One md5 per shingle instead of N_PERM — the standard
+# universal-hashing MinHash construction. Constants are fixed (the DuckDB
+# oracles in plans/extension_queries.py emit the same family).
+MH_P = 2_147_483_647
+MH_AC = [(2 * j * 40_503 + 1, j * 1_299_721 + 12_345) for j in range(N_PERM)]
+
+
+def minhash_bands(d, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, b, band_hash) MinHash LSH band buckets for documents ``d``.
+
+    Explode shingles ONCE, compute the N_PERM permutation hashes as flat
+    columns (whole-stage codegen — nested transform() lambdas fall back
+    to interpreted eval, measured 40x slower), min-aggregate into
+    signatures (map-side combinable), then band into N_BANDS md5 bucket
+    keys. Callers filter to docs with >= 3 tokens first (shorter docs
+    have no shingles and would all collide on the empty signature).
+    """
+    sh = d.select(id_col, F.explode(shingles(text_col)).alias("s"))
+    hashed = sh.select(id_col, h32(F.col("s")).alias("h"))
+    sigs = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + c) % MH_P).alias(f"s{j}")
+            for j, (a, c) in enumerate(MH_AC)
+        ]
+    )
+    rows_per_band = N_PERM // N_BANDS
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"s{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        id_col, F.posexplode(F.array(*band_hashes)).alias("b", "band_hash")
+    )

@@ -26,8 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkstreamingflume_spark.functions.text import (
+    MH_AC as _MH_AC,
+    MH_P as _MH_P,
+    N_BANDS,
+    N_PERM,
     h32,
     h32_sql,
+    minhash_bands as _minhash_bands,
     shingles,
     shingles_sql,
     tokens,
@@ -40,8 +45,8 @@ from sparkstreamingflume_spark.session import load_table
 # are what matter — the constants scale freely)
 # ---------------------------------------------------------------------------
 
-N_PERM = 16  # MinHash permutations
-N_BANDS = 4  # LSH bands (4 rows per band)
+# N_PERM / N_BANDS (MinHash permutations / LSH bands) are imported from
+# functions/text.py, where the shared minhash_bands primitive lives.
 N_BITS = 16  # SimHash signature width
 JACCARD_MIN_PPM = 80_000  # 0.08 — low so the synthetic corpus yields pairs
 TOPK = 5
@@ -354,45 +359,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Affine permutation family over one base hash: h_j(s) = (a_j*h32(s)+c_j) mod p.
-# One md5 per shingle instead of N_PERM — the standard universal-hashing
-# MinHash construction. Constants are fixed (shared with the oracle).
-_MH_P = 2_147_483_647
-_MH_AC = [(2 * j * 40_503 + 1, j * 1_299_721 + 12_345) for j in range(N_PERM)]
+# The affine permutation family (_MH_AC / _MH_P, imported above) is fixed
+# and shared with the oracle: the SQL columns below must emit the exact
+# same signatures as functions.text.minhash_bands.
 _SIG_SQL_COLS = ", ".join(
     f"min(({a} * h + {c}) % {_MH_P}) AS s{j}" for j, (a, c) in enumerate(_MH_AC)
 )
-
-
-def _minhash_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, b, band_hash) MinHash LSH band buckets for ``d``.
-
-    Explode shingles ONCE, compute the N_PERM permutation hashes as flat
-    columns (whole-stage codegen — nested transform() lambdas fall back
-    to interpreted eval, measured 40x slower), min-aggregate into
-    signatures (map-side combinable), then band into N_BANDS md5 bucket
-    keys. Callers filter to docs with >= 3 tokens first (shorter docs
-    have no shingles and would all collide on the empty signature).
-    """
-    sh = d.select("doc_id", F.explode(shingles("text")).alias("s"))
-    hashed = sh.select("doc_id", h32(F.col("s")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + c) % _MH_P).alias(f"s{j}")
-            for j, (a, c) in enumerate(_MH_AC)
-        ]
-    )
-    band_hashes = [
-        F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"s{b * 4 + r}").cast("string") for r in range(4)]
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    return sigs.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("b", "band_hash")
-    )
 
 
 @query(

@@ -87,11 +87,16 @@ def primary_queries() -> dict[str, Query]:
 # a driver row in some round. Next come the queries whose PLAN changed
 # this round (the inverted-index family gained the DF_CEIL stop-shingle
 # cutoff; q_sample_per_group was rewritten to the per-partition top-K
-# form), the 12 bench headliners (fresh rows alongside BENCH_r06), and
-# the stalest remainder — everything whose last green row is round 3,
-# then a round-4 slice prioritizing §2 anchors and one query per family.
-# Queries OUTSIDE the window stay cross-engine-certified every run by
-# tools/validate.py and tests/test_oracle_extras.py (same compare).
+# form), the FIVE round-6 newcomers (so no query waits a full round for
+# its first driver row), the 12 bench headliners (fresh rows alongside
+# BENCH_r06), and the stalest remainder — everything whose last green
+# row is round 3, then a round-4 slice prioritizing §2 anchors and one
+# query per family (five round-4-green relational anchors rotated OUT
+# to make room for the newcomers: q_distinct/q_except/q_intersect/
+# q_histogram/q_subqueries keep their r4 rows + the every-round pytest
+# oracle gate). Queries OUTSIDE the window stay cross-engine-certified
+# every run by tools/validate.py and tests/test_oracle_extras.py (same
+# compare).
 # ---------------------------------------------------------------------------
 
 CERT_WINDOW: tuple[str, ...] = (
@@ -105,6 +110,12 @@ CERT_WINDOW: tuple[str, ...] = (
     # -- plan changed this round (DF_CEIL prune; top-K sampler) -------------
     "q_dedup_ngram_jaccard",
     "q_dedup_candidates_verified",
+    # -- round-6 newcomers --------------------------------------------------
+    "q_dedup_block",
+    "q_embed_quantize_topk",
+    "q_train_test_split",
+    "q_dedup_incremental",
+    "q_lm_score",
     # -- bench headliners (fresh rows alongside BENCH_r06) ------------------
     "q_tpch_q1",
     "q_window_sliding",
@@ -140,12 +151,7 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_approx_percentile",
     "q_cube",
     "q_rollup",
-    "q_distinct",
-    "q_except",
-    "q_intersect",
-    "q_histogram",
     "q_topk",
-    "q_subqueries",
     "q_window_suite",
     "q_embed_ivf",
     "q_dedup_embed_cosine_bruteforce",

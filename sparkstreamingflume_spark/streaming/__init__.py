@@ -7,6 +7,16 @@ rate; plus the S4/S5 lookup-table loaders.
 code path and equivalence is testable).
 ``sinks`` — foreachBatch partitioned text/parquet writers with the
 reference's layout (rec_type/dt/hr dirs, size-bounded files), dual-write.
+``dedup`` / ``neardup`` — streaming dedup: watermark-bounded exact
+(dropDuplicatesWithinWatermark) and incremental near-dup against a
+persisted content-hash + LSH-band index (the streaming twin of
+q_dedup_incremental).
 """
 
-from sparkstreamingflume_spark.streaming import pipeline, sinks, sources  # noqa: F401
+from sparkstreamingflume_spark.streaming import (  # noqa: F401
+    dedup,
+    neardup,
+    pipeline,
+    sinks,
+    sources,
+)

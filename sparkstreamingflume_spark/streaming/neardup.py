@@ -1,0 +1,175 @@
+"""Streaming incremental near-dup filter — the streaming twin of
+``q_dedup_incremental``.
+
+A continuously-ingesting corpus store never re-dedups the world: each
+micro-batch is probed against two PERSISTED indexes — distinct
+``md5(text)`` content signatures (exact dups) and distinct MinHash LSH
+``(band, bucket)`` keys (near dups; same ``functions.text.minhash_bands``
+construction the batch query and its DuckDB oracle certify) — and only
+the survivors' signatures are appended back. Daily cost is
+O(|batch| + |index probe|), never O(|corpus|²).
+
+Index layout (plain parquet dirs, so the index is itself a queryable
+Spark table and survives restarts with the checkpoint):
+
+* ``<index_dir>/exact`` — column ``sig`` (md5 of text)
+* ``<index_dir>/bands`` — columns ``b``, ``band_hash``
+
+Idempotency: survivor output goes through the per-``batch_id``
+overwrite protocol, so a replayed batch rewrites its own directory; and
+every index row carries the ``batch_id`` that appended it, with probes
+filtering to STRICTLY EARLIER batches — a replayed batch cannot collide
+with its own prior append (without the provenance column, a replay
+would match its own signatures and drop every survivor). Re-appended
+rows from a replay are harmless: both probes are semi-joins against
+distinct keys, so duplicate index rows cannot change any flag, only
+waste probe-side bytes (compact with a periodic ``DISTINCT`` rewrite
+if replay churn matters).
+
+Within-batch policy: the index only knows about PRIOR batches, so dups
+that co-arrive are resolved batch-locally with min-doc_id-wins — a doc
+is dropped if a smaller doc_id in the same batch shares its content
+hash (exact) or any band bucket (near). This makes the stream's keep
+set deterministic regardless of micro-batch boundaries collapsing
+(two batches merging into one under backpressure cannot resurrect a
+dup).
+
+The reference never deduplicated (its sources were assumed exactly-once
+file drops); capability extension (SURVEY.md §2 LLM-pipeline track).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.functions.text import minhash_bands, tokens
+
+EXACT_SCHEMA = "sig string, batch_id long"
+BANDS_SCHEMA = "b int, band_hash string, batch_id long"
+
+
+def _read_index(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The index dir may not exist yet (first batch) — empty frame then."""
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch callback: filter ``batch`` against the index, write
+    survivors to ``out_dir/batch_id=N``, append their signatures.
+
+    All probes are LEFT SEMI / LEFT ANTI equi-joins on signature or
+    bucket keys — broadcastable while the batch is small, hash joins
+    otherwise; no collect, no Python row path.
+    """
+    spark = batch.sparkSession
+    # strictly-earlier-batch filter = replay safety (see module doc); it
+    # reaches the parquet scan as a pushed predicate on batch_id
+    exact_ix = _read_index(spark, f"{index_dir}/exact", EXACT_SCHEMA).filter(
+        F.col("batch_id") < batch_id
+    )
+    bands_ix = _read_index(spark, f"{index_dir}/bands", BANDS_SCHEMA).filter(
+        F.col("batch_id") < batch_id
+    )
+
+    sigged = batch.withColumn("sig", F.md5(F.col(text_col)))
+    bands = minhash_bands(
+        sigged.filter(F.size(tokens(text_col)) >= 3), id_col, text_col
+    )
+
+    # vs the index: seen content hash or seen band bucket => drop
+    stale_exact = sigged.join(exact_ix, "sig", "leftsemi").select(id_col)
+    stale_near = bands.join(
+        bands_ix, ["b", "band_hash"], "leftsemi"
+    ).select(id_col)
+
+    # within-batch min-doc_id-wins: drop a doc if a SMALLER id shares
+    # its content hash / any band bucket (self-joins on signature and
+    # bucket keys — the same bounded-cardinality shape as the probes)
+    s1, s2 = sigged.alias("s1"), sigged.alias("s2")
+    local_exact = (
+        s1.join(
+            s2,
+            (F.col("s1.sig") == F.col("s2.sig"))
+            & (F.col(f"s2.{id_col}") < F.col(f"s1.{id_col}")),
+            "leftsemi",
+        )
+    ).select(id_col)
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    local_near = (
+        b1.join(
+            b2,
+            (F.col("b1.b") == F.col("b2.b"))
+            & (F.col("b1.band_hash") == F.col("b2.band_hash"))
+            & (F.col(f"b2.{id_col}") < F.col(f"b1.{id_col}")),
+            "leftsemi",
+        )
+    ).select(id_col)
+
+    drop = (
+        stale_exact.unionByName(stale_near)
+        .unionByName(local_exact)
+        .unionByName(local_near)
+        .distinct()
+    )
+    survivors = sigged.join(drop, id_col, "leftanti").persist()
+    try:
+        # idempotent per-batch output dir (replay rewrites, never doubles)
+        (
+            survivors.drop("sig")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+        # append the survivors' signatures — the additive index update
+        (
+            survivors.select("sig")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{index_dir}/exact")
+        )
+        (
+            minhash_bands(
+                survivors.filter(F.size(tokens(text_col)) >= 3),
+                id_col,
+                text_col,
+            )
+            .select("b", "band_hash")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{index_dir}/bands")
+        )
+    finally:
+        survivors.unpersist()
+
+
+def attach_incremental_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a streaming doc frame through the incremental-dedup sink."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: incremental_dedup_batch(
+                b, i, index_dir, out_dir, id_col=id_col, text_col=text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

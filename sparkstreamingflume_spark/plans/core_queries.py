@@ -59,17 +59,24 @@ lines AS (
 _ARR = r"string_split(regexp_replace(line, '\|+$', ''), '|')"
 
 
-def _cdr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdr_lines(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
     """Spark twin of LINES_CTE — must stay field-identical to it.
 
     The corpus feeds CPU-bound per-row chains (44-way split, md5 masks),
     so the scan is widened to cluster width when the parquet layout is
     single-row-group-narrow (see session.widen_if_narrow: a no-op on
-    real row-group-per-128MB tables).
+    real row-group-per-128MB tables). Consumers whose FIRST operation is
+    a cheap shuffle aggregation pass ``widen=False``: for them the extra
+    round-robin exchange of full lines costs more than the parallelism
+    buys (q_group_concat measured 1.26 -> 0.93 s at sf0.1 without it —
+    the same effect that keeps the exact-dedup/corpus-funnel document
+    scans narrow, see plans/extension_queries.py).
     """
     from sparkstreamingflume_spark.session import widen_if_narrow
 
-    li = widen_if_narrow(load_table(spark, sf_dir, "lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
+    if widen:
+        li = widen_if_narrow(li)
     rec_type = (F.lit(60) + F.col("l_orderkey") % 11).cast("string")
     base = F.concat_ws(
         "|",
@@ -467,7 +474,11 @@ def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "A3"),
 )
 def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cdr_lines(spark, sf_dir).groupBy("rec_type").agg(F.count("*").alias("n"))
+    return (
+        _cdr_lines(spark, sf_dir, widen=False)
+        .groupBy("rec_type")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 @query(
@@ -486,7 +497,7 @@ def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
+    df = _cdr_lines(spark, sf_dir, widen=False)
     item = F.concat_ws("-", "l_orderkey", "l_linenumber")
     return df.groupBy("rec_type").agg(
         F.array_join(F.array_sort(F.collect_list(item)), ",").alias("payload")

@@ -2381,10 +2381,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = corpus.select("doc_id", "text", is_base.alias("is_base"))
     base, inc = split.filter("is_base"), split.filter(~F.col("is_base"))
 
-    bexact = base.select(F.md5("text").alias("sig")).distinct()
+    # Both probes are "does this key's group contain a base row" tests, so
+    # each is ONE max()-window over the key instead of a distinct-index +
+    # semi-join pair: the expensive subtree under the key shuffle (md5 /
+    # shingle-explode + 16-permutation min-agg) is computed ONCE, where
+    # the two-branch form re-ran it per consumer (Catalyst did not emit a
+    # ReusedExchange across the differently-shaped index/probe branches:
+    # 2 explodes / 16 scans / 12 aggs vs 1 / 8 / 4 here). Fixture
+    # wall-clock is a wash (sf0.1 medians: 1.83 s two-branch, 1.96 s
+    # here, 2.16 s persisted — the duplicated subtrees ran on otherwise
+    # idle cores), but at cluster occupancy halving the work is the win,
+    # and persisting was measurably worse. Same one-shuffle window
+    # discipline as the df prune in the inverted-index family. In the
+    # PRODUCTION incremental shape the base side is a stored index table,
+    # not a recomputation — see streaming/neardup.py, which keeps the
+    # semi-join-against-stored-index form.
+    has_base = F.max(F.col("is_base").cast("int"))
+    sigged = split.select("doc_id", "is_base", F.md5("text").alias("sig"))
     exact = (
-        inc.select("doc_id", F.md5("text").alias("sig"))
-        .join(bexact, "sig", "leftsemi")
+        sigged.withColumn(
+            "hb", has_base.over(Window.partitionBy("sig"))
+        )
+        .filter(~F.col("is_base") & (F.col("hb") == 1))
         .select("doc_id", F.lit(1).alias("e"))
     )
 
@@ -2392,10 +2410,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _minhash_bands(eligible.select("doc_id", "text")).join(
         eligible.select("doc_id", "is_base"), "doc_id"
     )
-    bbands = bands.filter("is_base").select("b", "band_hash").distinct()
     near = (
-        bands.filter(~F.col("is_base"))
-        .join(bbands, ["b", "band_hash"], "leftsemi")
+        bands.withColumn(
+            "hb", has_base.over(Window.partitionBy("b", "band_hash"))
+        )
+        .filter(~F.col("is_base") & (F.col("hb") == 1))
         .select("doc_id")
         .distinct()
         .select("doc_id", F.lit(1).alias("n"))

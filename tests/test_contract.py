@@ -345,3 +345,55 @@ def test_sample_per_group_is_partition_bounded_topk(spark):
         .filter(F.col("rn") <= SAMPLE_K_PER_GROUP)
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_runtime_bloom_filter_prunes_when_broadcast_impossible(spark):
+    """100 TB posture: a selective dim-side filter must reach the fact
+    scan even when the dim side exceeds every broadcast threshold — at
+    cluster scale that is Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in the engine
+    session). At fixture scale broadcast handles it (and wins), so this
+    test disables broadcast at RUNTIME to simulate the too-big dim and
+    asserts the optimizer injects a BloomFilter aggregate + might_contain
+    probe instead of shipping the full fact table through the join."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -14,7 +14,12 @@ two-partner fan-out enrichment, routed_pipeline_dual — 2x output rows)
 sources at rows_per_second EACH, keyed user join with a 30 s interval
 and 30 s watermarks — state must stay bounded at ~rate x horizon)
 | rollup (update-mode windowed agg upserted into a partitioned parquet
-materialized view via sinks.upsert_rollup, 10 s windows).
+materialized view via sinks.upsert_rollup, 10 s windows)
+| neardup (incremental near-dup filter, streaming/neardup.py: synthetic
+doc stream where ~30%% of rows replay one of the first 50k texts, so the
+persisted content-hash + LSH-band indexes grow over the run and every
+batch probes them — measures sustained filter throughput with a real,
+growing on-disk index, the cost a state metric can't see).
 Prints one JSON line with batch-duration percentiles, sustained rate,
 and (for stateful modes) state-store rows/bytes (max + last batch).
 """
@@ -39,7 +44,10 @@ def main() -> None:
     # absorbs it. 20 s is the reference's own stability criterion
     # (src/StreamingSocketProcess64.scala:83); stateless pipelines keep
     # the much tighter 2 s bar.
-    trigger_s = {"sjoin_inner": 20, "sjoin_outer": 20}.get(mode, 2)
+    # neardup's per-batch floor is parquet index reads + two writes +
+    # checkpoint commits (~4.7 s at ANY batch size, measured) — a 10 s
+    # trigger amortizes it; throughput is rows/s, not batches/s
+    trigger_s = {"sjoin_inner": 20, "sjoin_outer": 20, "neardup": 10}.get(mode, 2)
 
     from pyspark.sql import functions as F
 
@@ -125,6 +133,48 @@ def main() -> None:
                 )
             )
             .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
+    elif mode == "neardup":
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import neardup as ND
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_neardup_")
+        # Deterministic 16-token doc text from a seed: token i is
+        # vocab[(seed * C_i) % p_i % 64] with per-position primes, so the
+        # text is effectively injective in the seed (depends on seed mod
+        # the primes' product ~ 1e48) and JVM-side cheap. 30% of rows
+        # draw seed = value % 50_000 — once the first 50k such rows have
+        # passed, every one is a replay of an indexed text (exact AND
+        # band dup); the rest use a forever-unique seed and must survive.
+        primes = [977, 983, 991, 997, 1009, 1013, 1019, 1021,
+                  1031, 1033, 1039, 1049, 1051, 1061, 1063, 1069]
+        vocab = F.array(*[F.lit(f"w{i}") for i in range(64)])
+        seed = (
+            F.when(F.col("value") % 10 < 3, F.col("value") % 50_000)
+            .otherwise(F.lit(1_000_000_000) + F.col("value"))
+        )
+        toks = [
+            F.element_at(
+                vocab,
+                ((seed * (2 * i + 3)) % primes[i] % 64 + 1).cast("int"),
+            )
+            for i in range(16)
+        ]
+        docs = rate.select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+        q = (
+            ND.attach_incremental_dedup(
+                docs,
+                f"{tmp_sink_dir}/ix",
+                f"{tmp_sink_dir}/out",
+                f"{tmp_sink_dir}/ckpt",
+            )
             .trigger(processingTime=f"{trigger_s} seconds")
             .start()
         )
@@ -229,10 +279,23 @@ def main() -> None:
     if tmp_sink_dir:
         import shutil
 
-        n_parts = len(
-            [d for d in os.listdir(f"{tmp_sink_dir}/view") if d.startswith("wstart=")]
-        )
-        out["rollup_partitions"] = n_parts
+        if mode == "rollup":
+            out["rollup_partitions"] = len(
+                [
+                    d
+                    for d in os.listdir(f"{tmp_sink_dir}/view")
+                    if d.startswith("wstart=")
+                ]
+            )
+        elif mode == "neardup":
+            import duckdb
+
+            out["survivor_rows"] = duckdb.sql(
+                f"SELECT count(*) FROM '{tmp_sink_dir}/out/*/*.parquet'"
+            ).fetchone()[0]
+            out["index_sig_rows"] = duckdb.sql(
+                f"SELECT count(*) FROM '{tmp_sink_dir}/ix/exact/*.parquet'"
+            ).fetchone()[0]
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))
 

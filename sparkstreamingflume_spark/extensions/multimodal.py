@@ -489,3 +489,62 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     return df.mapInPandas(embed, schema=FEATURES_SCHEMA)
+
+
+CONTENT_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("entropy_bits", T.DoubleType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def byte_histogram_features(payload: bytes, dim: int = 64):
+    """Real, dependency-free content features for an opaque payload:
+    an L2-normalized ``dim``-bucket byte-value histogram plus Shannon
+    entropy (bits/byte). Unlike the digest fake above, these have
+    LOCALITY — payloads differing in a few bytes land at cosine ~1 —
+    so they honestly support near-dup detection and clustering over
+    binary columns (format fingerprinting, corrupted-file outliers,
+    compressed-vs-raw separation via entropy). A real CLIP/ViT embedder
+    drops into the same slot with semantic locality.
+    """
+    import numpy as np
+
+    a = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if a.size == 0:
+        return 0, 0.0, [0.0] * dim
+    full = np.bincount(a, minlength=256).astype(np.float64)
+    p = full[full > 0] / a.size
+    entropy = float(-(p * np.log2(p)).sum())  # true bits/byte, 0..8
+    hist = full.reshape(dim, 256 // dim).sum(axis=1)
+    norm = float(np.linalg.norm(hist))
+    feats = (hist / norm).astype(np.float32).tolist()
+    return int(a.size), entropy, feats
+
+
+def extract_content_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """mapInPandas byte-histogram featurizer: (media_id, payload) ->
+    (media_id, n_bytes, entropy_bits, embedding). Same Arrow-batched,
+    shuffle-free, payload-dropping shape as the decoders; the embedding
+    column feeds the text-side ANN operators (q_embed_topk /
+    q_embed_ivf / q_dedup_embed_cosine) unchanged.
+    """
+
+    def featurize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [byte_histogram_features(b, dim) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [r[0] for r in rows],
+                    "entropy_bits": [r[1] for r in rows],
+                    "embedding": [r[2] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=CONTENT_FEATURES_SCHEMA)

@@ -1290,3 +1290,122 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("max_cents"),
         )
     )
+
+
+# MERGE key shift: events carry user_id 0..(U-1); anchoring the feed at
+# max(c_custkey) - U/3 makes the change feed straddle the top of the
+# snapshot's key space at EVERY scale factor — the first ~third of the
+# feed updates existing keys (or deletes, when the latest event is the
+# 'error' tombstone) and the rest inserts past the end. The shift is a
+# 1-row aggregate over the two tables (broadcast in Spark, scalar CTE in
+# the oracle), never a hard-coded fixture size.
+
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH shift AS (
+        SELECT max(c_custkey)
+               - (SELECT count(DISTINCT user_id) FROM events) // 3 AS s
+        FROM customer
+    ),
+    latest AS (
+        SELECT user_id + shift.s AS key,
+               event_type,
+               CAST(floor(value * 100) AS BIGINT) AS new_cents
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) CROSS JOIN shift WHERE rn = 1
+    ),
+    merged AS (
+        SELECT coalesce(l.key, c.c_custkey) AS key,
+               CASE
+                   WHEN l.key IS NOT NULL AND c.c_custkey IS NOT NULL
+                        AND l.event_type = 'error' THEN 'delete'
+                   WHEN l.key IS NOT NULL AND c.c_custkey IS NOT NULL
+                       THEN 'update'
+                   WHEN l.key IS NOT NULL THEN 'insert'
+                   ELSE 'keep'
+               END AS op,
+               CASE WHEN l.key IS NOT NULL THEN l.new_cents
+                    ELSE CAST(floor(c.c_acctbal * 100) AS BIGINT)
+               END AS acctbal_cents,
+               coalesce(c.c_name, 'new-' || CAST(l.key AS VARCHAR)) AS name
+        FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.key
+    )
+    SELECT key, op, name, acctbal_cents FROM merged WHERE op <> 'delete'
+    """,
+    doc="Batch MERGE / upsert (SCD-1 dimension maintenance without a "
+    "table format): a change feed — the LATEST event per key, "
+    "row_number-deduplicated with a full (ts, event_id) tie-break — is "
+    "applied to the customer snapshot through ONE full outer join: "
+    "matched rows update (or delete, when the latest event is the "
+    "'error' tombstone type), unmatched feed rows insert, unmatched "
+    "snapshot rows carry over. This is the nightly-dim-refresh shape "
+    "warehouses run as MERGE INTO; on plain parquet the rewritten "
+    "snapshot is the new table version. Spark supports no broadcast for "
+    "FULL OUTER (hint is rejected, SMJ shuffles the full-width snapshot "
+    "— the naive form), so the plan is the two-sided broadcast-merge "
+    "decomposition: a LEFT join with the feed BROADCAST handles "
+    "update/delete/keep with ZERO snapshot movement, and inserts come "
+    "from a LEFT ANTI of the feed against the snapshot's KEY COLUMN "
+    "only — the single shuffle moves 8-byte keys, not rows. The "
+    "change-feed dedup is a per-key window whose sort is bounded by one "
+    "key's events. Reference contrast: its only state evolution was "
+    "overwrite-by-directory (src/ProcessSums.scala:237-331); this gives "
+    "its users keyed row-level upsert semantics. Extra: certified by "
+    "the pytest oracle gate.",
+    tags=("relational", "join", "pipeline"),
+    extra=True,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    shift = (
+        c.agg(F.max("c_custkey").alias("mx"))
+        .crossJoin(F.broadcast(ev.agg(F.countDistinct("user_id").alias("u"))))
+        .select(F.expr("mx - u div 3").alias("s"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("user_id") + F.col("s")).alias("key"),
+            "event_type",
+            _cents("value").alias("new_cents"),
+        )
+    )
+    upd = (
+        c.join(F.broadcast(latest), c.c_custkey == latest.key, "left")
+        .select(
+            c.c_custkey.alias("key"),
+            F.when(
+                latest.key.isNotNull() & (F.col("event_type") == "error"),
+                "delete",
+            )
+            .when(latest.key.isNotNull(), "update")
+            .otherwise("keep")
+            .alias("op"),
+            F.col("c_name").alias("name"),
+            F.when(latest.key.isNotNull(), F.col("new_cents"))
+            .otherwise(_cents("c_acctbal"))
+            .alias("acctbal_cents"),
+        )
+        .filter(F.col("op") != "delete")
+    )
+    ins = latest.join(
+        c.select("c_custkey"), latest.key == F.col("c_custkey"), "left_anti"
+    ).select(
+        "key",
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("new-"), F.col("key").cast("string")).alias("name"),
+        F.col("new_cents").alias("acctbal_cents"),
+    )
+    return upd.unionByName(ins).select("key", "op", "name", "acctbal_cents")

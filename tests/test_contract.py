@@ -397,3 +397,19 @@ def test_runtime_bloom_filter_prunes_when_broadcast_impossible(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_upsert_is_broadcast_merge_decomposition(spark):
+    """q_merge_upsert must stay the broadcast-merge form: Spark rejects
+    broadcast for FULL OUTER (the naive MERGE join), so the plan must
+    contain NO full-outer SortMergeJoin — the update path broadcasts the
+    change feed (snapshot never moves) and the insert path anti-joins
+    against the key column only."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    df = REGISTRY["q_merge_upsert"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    ops = {r["op"] for r in df.collect()}
+    assert ops == {"keep", "update", "insert"}  # delete rows filtered out

@@ -380,3 +380,43 @@ def test_decode_video_real_and_fake_paths(spark, media_df):
         assert (r.width, r.height) in (
             (256, 144), (640, 360), (1280, 720), (1920, 1080),
         )
+
+
+def test_byte_histogram_features_locality_and_entropy(spark):
+    """Content features must have real locality (unlike the digest fake):
+    a payload differing in a few bytes stays at cosine ~1, an unrelated
+    payload does not; entropy separates constant from uniform bytes; and
+    the whole path runs through Arrow batches with exact unit norms."""
+    import math
+
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        byte_histogram_features,
+        extract_content_features,
+    )
+
+    base = bytes(range(256)) * 8
+    near = bytearray(base)
+    near[0:4] = b"\xff\xff\xff\xff"  # 4 of 2048 bytes changed
+    other = b"\x00" * 2048
+
+    def cos(u, v):
+        return sum(a * b for a, b in zip(u, v))
+
+    _, ent_base, f_base = byte_histogram_features(base)
+    _, ent_const, f_const = byte_histogram_features(other)
+    _, _, f_near = byte_histogram_features(bytes(near))
+    assert cos(f_base, f_near) > 0.999
+    assert cos(f_base, f_const) < 0.2
+    assert abs(ent_base - 8.0) < 0.01  # uniform bytes: 8 bits/byte
+    assert ent_const == 0.0  # constant bytes: zero entropy
+    for f in (f_base, f_near, f_const):
+        assert abs(math.sqrt(cos(f, f)) - 1.0) < 1e-5
+
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, other), (4, b"")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_content_features(df).collect()}
+    assert out[1]["n_bytes"] == 2048 and len(out[1]["embedding"]) == 64
+    assert cos(out[1]["embedding"], out[2]["embedding"]) > 0.999
+    assert out[4]["n_bytes"] == 0 and out[4]["entropy_bits"] == 0.0

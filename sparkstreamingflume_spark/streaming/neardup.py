@@ -23,8 +23,9 @@ with its own prior append (without the provenance column, a replay
 would match its own signatures and drop every survivor). Re-appended
 rows from a replay are harmless: both probes are semi-joins against
 distinct keys, so duplicate index rows cannot change any flag, only
-waste probe-side bytes (compact with a periodic ``DISTINCT`` rewrite
-if replay churn matters).
+waste probe-side bytes — :func:`compact_index` rewrites each index to
+one row per key (min batch_id, which preserves the replay contract)
+when churn or small-file count matters.
 
 Within-batch policy: the index only knows about PRIOR batches, so dups
 that co-arrive are resolved batch-locally with min-doc_id-wins — a doc
@@ -173,3 +174,45 @@ def attach_incremental_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Rewrite both signature indexes to one row per distinct key.
+
+    Replay churn and per-batch appends accumulate duplicate keys and
+    small files; compaction rewrites each index keeping the MINIMUM
+    batch_id per key — the first batch that appended it — which
+    preserves the replay contract exactly: a replayed batch N filters
+    to batch_id < N, and after compaction a key still carries a
+    batch_id <= its original first appearance, so N never sees its own
+    append and always sees strictly-older ones. (Keeping max would
+    break it: a key first indexed by batch 2 and re-appended by a
+    replayed batch 5 would vanish from batch 5's own probe view.)
+
+    Runs as one combinable min-aggregation per index; the rewrite goes
+    through a temp dir + atomic-enough rename so a crash mid-compact
+    leaves either the old or the new index, never a partial one.
+    Returns per-index (rows_before, rows_after).
+    """
+    import shutil
+    import tempfile
+
+    stats = {}
+    for sub, key_cols in (("exact", ["sig"]), ("bands", ["b", "band_hash"])):
+        path = f"{index_dir}/{sub}"
+        if not os.path.isdir(path):
+            continue
+        before = spark.read.parquet(path)
+        n_before = before.count()
+        compacted = before.groupBy(*key_cols).agg(
+            F.min("batch_id").alias("batch_id")
+        )
+        tmp = tempfile.mkdtemp(dir=index_dir, prefix=f".{sub}_compact_")
+        compacted.write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        old = f"{index_dir}/.{sub}_old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        stats[sub] = (n_before, n_after)
+    return stats

@@ -110,3 +110,26 @@ def test_attach_runs_as_real_stream(spark, tmp_path):
     finally:
         q.stop()
     assert _survivor_ids(spark, tmp_path / "out") == {1, 3}
+
+
+def test_compact_index_preserves_semantics(spark, tmp_path):
+    from sparkstreamingflume_spark.streaming.neardup import compact_index
+
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    _run_batch(spark, [(1, FOX), (2, OTHER)], 0, ix, out)
+    _run_batch(spark, [(1, FOX), (2, OTHER)], 0, ix, out)  # replay churn
+    _run_batch(spark, [(3, THIRD)], 1, ix, out)
+
+    stats = compact_index(spark, str(ix))
+    # replay doubled the batch-0 appends; compaction collapses them
+    assert stats["exact"][0] > stats["exact"][1]
+    assert stats["bands"][0] > stats["bands"][1]
+    sigs = spark.read.parquet(str(ix / "exact"))
+    assert sigs.count() == sigs.select("sig").distinct().count() == 3
+
+    # post-compaction batches behave identically: dups of any earlier
+    # survivor still drop, novel docs still keep, replay still safe
+    _run_batch(spark, [(4, FOX), (5, THIRD), (6, "totally novel words")], 2, ix, out)
+    assert _survivor_ids(spark, out) == {1, 2, 3, 6}
+    _run_batch(spark, [(4, FOX), (5, THIRD), (6, "totally novel words")], 2, ix, out)
+    assert _survivor_ids(spark, out) == {1, 2, 3, 6}

@@ -586,7 +586,9 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "O1"),
 )
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
+    # widen=False: pure scan+filter with NO downstream shuffle — the widen
+    # repartition would be the only exchange (measured 0.38 -> 0.26 s)
+    df = _cdr_lines(spark, sf_dir, widen=False)
     a = df.filter(F.col("rec_type") == "61").select("line")
     b = df.filter(F.col("rec_type") == "62").select("line")
     return a.unionByName(b)
@@ -614,7 +616,9 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    df = _cdr_lines(spark, sf_dir)
+    # widen=False: the window's rec_type shuffle re-partitions anyway
+    # (measured 1.21 -> 1.02 s)
+    df = _cdr_lines(spark, sf_dir, widen=False)
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
     # the full line is the final tie-break so rank order is deterministic.
     w = Window.partitionBy("rec_type").orderBy("l_orderkey", "l_linenumber", "line")
@@ -658,7 +662,9 @@ _SORT_BUCKET_W = 500
 def q_cluster_sort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    df = _cdr_lines(spark, sf_dir)
+    # widen=False, same reasoning as q_cluster_sort: the (rec_type,
+    # bucket) window shuffle re-partitions anyway
+    df = _cdr_lines(spark, sf_dir, widen=False)
     bucket = F.floor(F.col("l_orderkey") / _SORT_BUCKET_W).cast("long")
     w = Window.partitionBy("rec_type", "bucket").orderBy(
         "l_orderkey", "l_linenumber", "line"
@@ -691,7 +697,9 @@ def q_cluster_sort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingflume_spark.functions.skew import salted_agg
 
-    df = _cdr_lines(spark, sf_dir)
+    # widen=False: phase-1 salt shuffle already spreads the rows; the
+    # widen exchange was pure overhead (measured 0.96 -> 0.30 s)
+    df = _cdr_lines(spark, sf_dir, widen=False)
     return salted_agg(
         df,
         keys=["rec_type"],

@@ -91,10 +91,10 @@ def primary_queries() -> dict[str, Query]:
 # its first driver row), the 12 bench headliners (fresh rows alongside
 # BENCH_r06), and the stalest remainder — everything whose last green
 # row is round 3, then a round-4 slice prioritizing §2 anchors and one
-# query per family (five round-4-green relational anchors rotated OUT
+# query per family (six round-4-green relational anchors rotated OUT
 # to make room for the newcomers: q_distinct/q_except/q_intersect/
-# q_histogram/q_subqueries keep their r4 rows + the every-round pytest
-# oracle gate). Queries OUTSIDE the window stay cross-engine-certified
+# q_histogram/q_subqueries/q_topk keep their r4 rows + the every-round
+# pytest oracle gate). Queries OUTSIDE the window stay cross-engine-certified
 # every run by tools/validate.py and tests/test_oracle_extras.py (same
 # compare).
 # ---------------------------------------------------------------------------
@@ -116,6 +116,7 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_train_test_split",
     "q_dedup_incremental",
     "q_lm_score",
+    "q_merge_upsert",
     # -- bench headliners (fresh rows alongside BENCH_r06) ------------------
     "q_tpch_q1",
     "q_window_sliding",
@@ -151,7 +152,6 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_approx_percentile",
     "q_cube",
     "q_rollup",
-    "q_topk",
     "q_window_suite",
     "q_embed_ivf",
     "q_dedup_embed_cosine_bruteforce",

@@ -40,6 +40,7 @@ EXTRA_QUERIES = (
     "q_train_test_split",
     "q_dedup_incremental",
     "q_lm_score",
+    "q_merge_upsert",
 )
 
 

@@ -73,6 +73,22 @@ REP_DUP6_MAX_PPM = 100_000  # repetition filter: duplicate 6-grams <= 10%
 # fixture lives in tests/test_dedup_skew.py.
 DF_CEIL = 128
 
+# Band-bucket population ceiling for the PAIR-ENUMERATING LSH queries
+# (q_dedup_minhash, q_dedup_candidates_verified, q_dedup_embed_lsh) — the
+# band-bucket analog of DF_CEIL: a bucket holding B docs emits O(B²)
+# candidate rows from the self-join, and mass-duplicated content (10k
+# copies of one page share every band) makes B ~ corpus size. RECALL
+# CONTRACT: pairs colliding ONLY in over-ceiling buckets are not
+# enumerated — by construction that is mass-duplicated content, which
+# exact dedup (q_dedup_exact, identical text) and BUCKET-LEVEL clustering
+# (q_dedup_clusters routes through the bipartite doc–bucket graph, |docs|×4
+# edges, NO pair enumeration, deliberately uncapped) both still handle;
+# enumerating 5×10⁷ pairs for one mega-cluster serves no consumer. The
+# fixture corpora peak at bucket size 4 (sf0.1) / 27 (embed LSH), so
+# driver results are bit-identical with or without the ceiling; the
+# hot-bucket fixture lives in tests/test_dedup_skew.py.
+BUCKET_CEIL = 128
+
 _SH = shingles_sql("text")
 _TOK = "string_split(text, ' ')"
 
@@ -366,6 +382,16 @@ _SIG_SQL_COLS = ", ".join(
     f"min(({a} * h + {c}) % {_MH_P}) AS s{j}" for j, (a, c) in enumerate(_MH_AC)
 )
 
+# BUCKET_CEIL prune over the bands CTE (see the contract above) — shared
+# by the minhash and candidates-verified oracles.
+_BANDS_PRUNED_SQL = f"""bprune AS (
+        SELECT doc_id, b, band_hash FROM (
+            SELECT doc_id, b, band_hash,
+                   count(*) OVER (PARTITION BY b, band_hash) AS bsz_
+            FROM bands
+        ) WHERE bsz_ <= {BUCKET_CEIL}
+    )"""
+
 
 @query(
     "q_dedup_minhash",
@@ -385,10 +411,11 @@ _SIG_SQL_COLS = ", ".join(
                     ELSE md5(s12::VARCHAR || ',' || s13::VARCHAR || ',' || s14::VARCHAR || ',' || s15::VARCHAR)
                END AS band_hash
         FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
-    )
+    ),
+    {_BANDS_PRUNED_SQL}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+    FROM bprune a
+    JOIN bprune b ON a.b = b.b AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id
     """,
     doc="Near-dup candidates via MinHash + LSH banding: 16 md5-derived "
@@ -398,14 +425,23 @@ _SIG_SQL_COLS = ", ".join(
     "nested transform() lambdas fall back to interpreted eval, measured "
     "40x slower), then a map-side-combinable min() aggregation builds "
     "signatures. The candidate join key is (band, band_hash) — bucket "
-    "cardinality, not doc² — which is the 100 TB-safe shape; a verify "
-    "pass (q_dedup_ngram_jaccard on candidates only) confirms.",
+    "cardinality, not doc² — and buckets over BUCKET_CEIL are dropped "
+    "before the self-join per the recall contract (the count-window "
+    "prune leaves the frame hash-partitioned by bucket key, so the "
+    "self-join reuses that one exchange, mirroring the ngram family). "
+    "A verify pass (q_dedup_ngram_jaccard on candidates only) confirms.",
     tags=("dedup",),
     bench=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
     bands = _minhash_bands(d)
+    bw = Window.partitionBy("b", "band_hash")
+    bands = (
+        bands.withColumn("bsz_", F.count("*").over(bw))
+        .filter(F.col("bsz_") <= BUCKET_CEIL)
+        .drop("bsz_")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -781,9 +817,16 @@ _HP_HI = N_QUERIES + N_HP
         FROM hp a, e b
         GROUP BY b.vec_id, a.p // {HP_BITS}
     ),
+    sprune AS (
+        SELECT vec_id, band, band_sig FROM (
+            SELECT vec_id, band, band_sig,
+                   count(*) OVER (PARTITION BY band, band_sig) AS bsz_
+            FROM sig
+        ) WHERE bsz_ <= {BUCKET_CEIL}
+    ),
     cand AS (
         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        FROM sig x JOIN sig y
+        FROM sprune x JOIN sprune y
           ON x.band = y.band AND x.band_sig = y.band_sig
              AND x.vec_id < y.vec_id
     )
@@ -808,7 +851,9 @@ _HP_HI = N_QUERIES + N_HP
     "~15-28% rate — tests/test_approx.py pins the strict-subset "
     "property and a recall floor against the brute-force reference. "
     "100 TB: planes broadcast (64x64 doubles), signatures partition by "
-    "(band, band_sig), AQE splits hot buckets.",
+    "(band, band_sig), and buckets over BUCKET_CEIL are dropped before "
+    "the self-join per the recall contract — AQE can rebalance a hot "
+    "bucket's partitions but not its quadratic pair count.",
     tags=("dedup", "similarity"),
     extra=True,
 )
@@ -833,6 +878,12 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("bit").alias("band_sig"))
+    )
+    sw = Window.partitionBy("band", "band_sig")
+    sig = (
+        sig.withColumn("bsz_", F.count("*").over(sw))
+        .filter(F.col("bsz_") <= BUCKET_CEIL)
+        .drop("bsz_")
     )
     x, y = sig.alias("x"), sig.alias("y")
     cand = (
@@ -1288,10 +1339,11 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS band_hash
         FROM sigs, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b)
     ),
+    {_BANDS_PRUNED_SQL},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+        FROM bprune a
+        JOIN bprune b ON a.b = b.b AND a.band_hash = b.band_hash
                      AND a.doc_id < b.doc_id
     ),
     shd AS (
@@ -1469,6 +1521,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The minhash candidate-pair CTE chain, reused by the cluster queries.
+# Deliberately UNCAPPED (no BUCKET_CEIL): the Spark side of the cluster
+# family routes through the bipartite doc–bucket graph (|docs|×4 edges,
+# no pair enumeration), so mega-buckets cost it nothing and MUST still
+# cluster — this pair-form CTE is only the oracle's semantic twin, and
+# DuckDB evaluates it on fixture-scale corpora where buckets are tiny.
 _CAND_CTES = f"""
     sh0 AS (
         SELECT doc_id, unnest({_SH}) AS s FROM documents
@@ -1511,14 +1568,23 @@ _CAND_CTES = f"""
     WITH RECURSIVE {_CAND_CTES}
     SELECT doc_id, cluster_id FROM clusters
     """,
-    doc="Dedup clustering: near-dup candidate pairs (MinHash LSH) as an "
-    "undirected graph, connected components via pointer-doubling label "
-    "propagation (extensions/graph.py connected_components_fast — "
-    "O(log n) rounds of join+shortcut+min-agg with per-round lineage "
-    "truncation, raising on non-convergence; oracle uses a recursive "
-    "CTE). The component IS "
-    "the dedup unit at scale: transitive near-dups collapse together "
-    "even when pairwise LSH missed an edge.",
+    doc="Dedup clustering: connected components over the BIPARTITE "
+    "doc–bucket graph (each MinHash band bucket becomes a node, each "
+    "doc links to its 4 buckets) via pointer-doubling label propagation "
+    "(extensions/graph.py connected_components_fast, O(log n) rounds, "
+    "raising on non-convergence; oracle uses a recursive CTE over the "
+    "equivalent candidate-PAIR graph). Components restricted to doc "
+    "nodes are IDENTICAL to components of the enumerated pair graph — "
+    "two docs are connected iff they transitively share buckets — but "
+    "the edge count is |docs|×4 instead of Σ bucket_size²/2: a 10k-copy "
+    "dup cluster contributes 40k edges here where pair enumeration "
+    "emits 5×10⁷ rows, which is why production dedup clusters through "
+    "buckets, never pairs. Bucket node ids live above 2^55 so the "
+    "component's min label is always the min doc_id (the oracle's "
+    "label); single-doc components (no shared bucket) are filtered to "
+    "match the pair graph's node set. The component IS the dedup unit "
+    "at scale: transitive near-dups collapse together even when "
+    "pairwise LSH missed an edge.",
     tags=("dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1526,9 +1592,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_fast,
     )
 
-    pairs = q_dedup_minhash(spark, sf_dir)
-    return connected_components_fast(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
+    d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
+    bands = _minhash_bands(d)
+    # 60-bit md5-derived bucket id, offset above any doc_id (docs are
+    # assumed < 2^55; buckets land in [2^55, 2^55 + 2^60))
+    bucket_node = F.lit(1 << 55) + F.conv(
+        F.substring(F.md5(F.concat_ws(":", "b", "band_hash")), 1, 15), 16, 10
+    ).cast("long")
+    edges = bands.select(
+        F.col("doc_id").alias("doc_a"), bucket_node.alias("doc_b")
+    )
+    cc = connected_components_fast(edges)
+    docs_cc = cc.filter(F.col("node") < (1 << 55))
+    w = Window.partitionBy("cluster_id")
+    return (
+        docs_cc.withColumn("n_docs", F.count("*").over(w))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
     )
 
 

@@ -85,3 +85,72 @@ def test_df_ceiling_bounds_boilerplate_pairs(spark, tmp_path, name):
         assert not problems, f"{name}: {problems}"
     finally:
         con.close()
+
+
+def _hot_bucket_corpus(tmp_path, n_dups: int, n_unique: int = 40) -> str:
+    """n_dups identical docs (one mega band-bucket) + n_unique distinct
+    docs, of which pairs (even ids share a tail with odd ids... none —
+    all unique). The identical docs share EVERY band, so each of the 4
+    bucket keys holds n_dups members."""
+    out = tmp_path / f"hot{n_dups}"
+    out.mkdir()
+    dup_text = "identical boilerplate page copied everywhere across the web"
+    ids, texts = [], []
+    for i in range(n_dups):
+        ids.append(i)
+        texts.append(dup_text)
+    for i in range(n_unique):
+        ids.append(10_000 + i)
+        texts.append(" ".join(f"u{i}w{j}" for j in range(10)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["adv"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_bucket_ceiling_bounds_minhash_pairs(spark, tmp_path):
+    """BUCKET_CEIL engagement: 100 identical docs (buckets of 100 <=
+    ceiling) emit all C(100,2) pairs; 200 identical docs (buckets of 200
+    > ceiling) emit ZERO pairs from the mega-bucket instead of C(200,2)
+    — and the oracle, with the ceiling mirrored, still hash-matches.
+    The mega-cluster itself is NOT lost: q_dedup_exact groups the
+    identical texts and q_dedup_clusters (bipartite, uncapped) still
+    forms the single 200-doc cluster without enumerating pairs."""
+    from sparkstreamingflume_spark.plans.extension_queries import BUCKET_CEIL
+
+    assert 100 <= BUCKET_CEIL < 200, "fixture sized around the ceiling"
+    small, big = (
+        _hot_bucket_corpus(tmp_path, 100),
+        _hot_bucket_corpus(tmp_path, 200),
+    )
+    q = REGISTRY["q_dedup_minhash"]
+    assert q.build(spark, small).count() == 100 * 99 // 2
+    big_df = q.build(spark, big)
+    big_rows = [tuple(r) for r in big_df.collect()]
+    assert len(big_rows) == 0  # mega-bucket dropped, uniques never pair
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{big}/documents.parquet'"
+        )
+        ocols, orows = duck_fetch(con, q.oracle)
+        problems = compare(big_df.columns, big_rows, ocols, orows)
+        assert not problems, problems
+    finally:
+        con.close()
+
+    # the consumers that must still handle the mega-cluster:
+    exact = REGISTRY["q_dedup_exact"].build(spark, big)
+    dup_groups = [r for r in exact.collect() if r["n_copies"] >= 200]
+    assert dup_groups, "exact dedup lost the mega-cluster"
+    clusters = REGISTRY["q_dedup_clusters"].build(spark, big).collect()
+    mega = [r for r in clusters if r["cluster_id"] == 0]
+    assert len(mega) == 200, "bipartite clustering must keep mega-clusters"

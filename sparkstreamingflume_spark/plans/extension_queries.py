@@ -1716,8 +1716,14 @@ SIMHASH_MAX_HAMMING = 3
     "two bytes; pairs sharing either byte are candidates (pigeonhole: "
     "any pair within hamming<=1 must share a half; wider radii trade "
     "recall), then verified with bit_count(xor)<=3. Join key is the "
-    "byte bucket — |buckets| cardinality, the same LSH shape as MinHash "
-    "banding, so it scales identically.",
+    "byte bucket — the same equi-join shape as MinHash banding. Scale "
+    "lever: bucket population is |docs| / 2^half_bits, so the 100 TB "
+    "form WIDENS the signature (64-bit sig, 4x16-bit halves = 65k "
+    "buckets per half) to keep expected bucket size bounded — a "
+    "BUCKET_CEIL drop would be wrong here because these coarse buckets "
+    "hold mostly-unrelated docs, and dropping a hot one loses genuine "
+    "near-dups that share the byte; the 16-bit width certifies the "
+    "semantics at fixture scale.",
     tags=("dedup",),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1723,7 +1723,8 @@ SIMHASH_MAX_HAMMING = 3
     "BUCKET_CEIL drop would be wrong here because these coarse buckets "
     "hold mostly-unrelated docs, and dropping a hot one loses genuine "
     "near-dups that share the byte; the 16-bit width certifies the "
-    "semantics at fixture scale.",
+    "semantics at fixture scale and q_dedup_simhash_wide IS the wide "
+    "form, also oracle-certified.",
     tags=("dedup",),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,4 +2590,123 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_ppm",
         F.col("rare_ppm").cast("long").alias("rare_ppm"),
         (F.col("mean_ppm") >= LM_MIN_MEAN_PPM).cast("long").alias("keep"),
+    )
+
+
+# 60-bit SimHash (the "widen the signature" scale path promised by
+# q_dedup_simhash_pairs' docstring, as code): token hash is the first 15
+# md5 hex chars (60 bits, cross-engine exact), the signature splits into
+# 4 x 15-bit quarters (32k buckets per quarter vs the 16-bit form's 256
+# per half), and pigeonhole still guarantees radius-3 recall: a pair
+# differing in <= 3 bits cannot differ in all 4 quarters.
+WIDE_BITS = 60
+WIDE_Q = 4  # quarters
+_H60 = "CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT)"
+_WIDE_BITSUM = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(WIDE_BITS)
+)
+_WIDE_BITS_SQL = " + ".join(
+    f"(CASE WHEN b{j} >= 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+    for j in range(WIDE_BITS)
+)
+
+
+@query(
+    "q_dedup_simhash_wide",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    tok0 AS (SELECT doc_id, unnest({_TOK}) AS tok FROM corpus),
+    tok AS (SELECT doc_id, {_H60} AS h FROM tok0),
+    votes AS (SELECT doc_id, {_WIDE_BITSUM} FROM tok GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({_WIDE_BITS_SQL} AS BIGINT) AS sh FROM votes),
+    q AS (
+        SELECT doc_id, sh, quarter,
+               (sh >> (quarter * {WIDE_BITS // WIDE_Q}))
+                   & {(1 << (WIDE_BITS // WIDE_Q)) - 1} AS qv
+        FROM sigs, (SELECT unnest(generate_series(0, {WIDE_Q - 1})) AS quarter)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM q a JOIN q b ON a.quarter = b.quarter AND a.qv = b.qv
+                      AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="Wide (60-bit) SimHash near-dup pairs — the scale form the "
+    "16-bit q_dedup_simhash_pairs certifies semantically: 4 x 15-bit "
+    "quarter bands give 32k buckets per band, so expected bucket "
+    "population at a given corpus size is 128x smaller than the "
+    "two-byte form's (the signature-WIDTH lever; compose with "
+    "BUCKET_CEIL if mass duplication still produces hot buckets). "
+    "Pigeonhole preserves exact radius-3 recall: <= 3 differing bits "
+    "cannot touch all 4 quarters. The corpus is doubled (as in "
+    "q_dedup_exact) so the fixture exercises both the hamming-0 exact "
+    "path and genuine near-dups. One token explode, one 60-column "
+    "map-side-combinable vote aggregate, quarter-bucket equi-join — "
+    "no all-pairs anything. Extra: how-variant of "
+    "q_dedup_simhash_pairs; certified by the pytest oracle gate.",
+    tags=("dedup",),
+    extra=True,
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    tok = corpus.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(WIDE_BITS)
+        ]
+    )
+    bits = None
+    for j in range(WIDE_BITS):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    sigs = votes.select("doc_id", bits.cast("long").alias("sh"))
+    qw = WIDE_BITS // WIDE_Q
+    quarters = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh", q * qw).bitwiseAND(F.lit((1 << qw) - 1))
+                    for q in range(WIDE_Q)
+                ]
+            )
+        ).alias("quarter", "qv"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.quarter") == F.col("b.quarter"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
     )

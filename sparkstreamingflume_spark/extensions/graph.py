@@ -184,6 +184,11 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph (empty input day, filter dropped every edge): the
+        # correct result is zero rows, not a 1/N division crash
+        nodes.unpersist()
+        return e.select(F.col("src").alias("node"), F.lit(0.0).alias("pr"))
     # Edges pre-joined with out-degree once. Each iteration's ranks is
     # persisted LAZILY: the planner substitutes the cached fragment, so
     # the optimizer tree stays one-iteration deep instead of growing

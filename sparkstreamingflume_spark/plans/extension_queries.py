@@ -2406,7 +2406,11 @@ _BAND_CASE_SQL = (
                     < {INC_BASE_PCT}) AS is_base
         FROM corpus
     ),
-    bexact AS (SELECT DISTINCT md5(text) AS sig FROM split WHERE is_base),
+    -- text IS NOT NULL: a NULL sig in this list would poison every
+    -- NOT IN below (x NOT IN (..., NULL) is never TRUE) — and NULL
+    -- content matches nothing by contract anyway
+    bexact AS (SELECT DISTINCT md5(text) AS sig FROM split
+               WHERE is_base AND text IS NOT NULL),
     sh0 AS (
         SELECT doc_id, is_base, unnest({_SH}) AS s FROM split
         WHERE len({_TOK}) >= 3
@@ -2430,7 +2434,11 @@ _BAND_CASE_SQL = (
                 THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
            CAST(CASE WHEN i.doc_id IN (SELECT doc_id FROM near)
                 THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
-           CAST(CASE WHEN md5(i.text) NOT IN (SELECT sig FROM bexact)
+           -- NULL text: not a dup of anything (unknown content matches
+           -- nothing) but not kept either — made explicit, not left to
+           -- NULL-propagation through NOT IN
+           CAST(CASE WHEN i.text IS NOT NULL
+                      AND md5(i.text) NOT IN (SELECT sig FROM bexact)
                       AND i.doc_id NOT IN (SELECT doc_id FROM near)
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM split i WHERE NOT is_base
@@ -2485,10 +2493,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-join-against-stored-index form.
     has_base = F.max(F.col("is_base").cast("int"))
     sigged = split.select("doc_id", "is_base", F.md5("text").alias("sig"))
+    # NULL text => NULL sig: unknown content matches NOTHING (two NULL
+    # docs are not duplicates of each other). The window would lump the
+    # NULL-sig rows into one group, so they are excluded before it —
+    # mirroring the oracle, where `md5(text) IN (...)` is never true for
+    # NULL, and the streaming twin, whose semi-joins never match NULL keys.
     exact = (
-        sigged.withColumn(
-            "hb", has_base.over(Window.partitionBy("sig"))
-        )
+        sigged.filter(F.col("sig").isNotNull())
+        .withColumn("hb", has_base.over(Window.partitionBy("sig")))
         .filter(~F.col("is_base") & (F.col("hb") == 1))
         .select("doc_id", F.lit(1).alias("e"))
     )
@@ -2508,14 +2520,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        inc.select("doc_id")
+        inc.select("doc_id", F.col("text").isNotNull().alias("has_text"))
         .join(F.broadcast(exact), "doc_id", "left")
         .join(F.broadcast(near), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("e", F.lit(0)).cast("long").alias("exact_dup"),
             F.coalesce("n", F.lit(0)).cast("long").alias("near_dup"),
-            (F.col("e").isNull() & F.col("n").isNull())
+            (F.col("has_text") & F.col("e").isNull() & F.col("n").isNull())
             .cast("long")
             .alias("keep"),
         )

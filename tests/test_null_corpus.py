@@ -1,0 +1,86 @@
+"""Cross-engine parity on a NULL-infested document corpus.
+
+The driver fixtures contain no NULL or empty text, so NULL-handling
+divergence between Spark and DuckDB (three-valued IN, null window
+groups, split(NULL) propagation) is invisible to the certification
+gate. This runs EVERY oracle-backed query that reads ``documents``
+against a corpus with NULL text, empty text, whitespace text, NULL
+lang and NULL source, and applies the driver's own compare. Found one
+real divergence when introduced: Spark's window grouped NULL content
+hashes into one bucket (two NULL-text docs flagged as exact dups of
+each other) where SQL's IN never matches NULL — q_dedup_incremental
+now pins the "unknown content matches nothing, and is not kept" contract.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sparkstreamingflume_spark.oracle import compare, duck_fetch, register_views
+from sparkstreamingflume_spark.plans import REGISTRY
+
+SRC = "/root/testdata/sf0.001"
+
+TEXTS = [
+    "normal doc with several tokens here",
+    None,
+    "",
+    " ",
+    "one",
+    None,
+    "another normal document for the corpus test run",
+]
+
+DOC_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "documents" in q.oracle
+)
+
+
+@pytest.fixture(scope="module")
+def null_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("null_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "lang": pa.array(
+                ["en", None, "en", "de", None, "en", "de"], pa.string()
+            ),
+            "source": pa.array(
+                ["a", "a", None, "b", "b", "b", None], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in TEXTS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck(null_sf):
+    con = duckdb.connect()
+    register_views(con, null_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_matches_oracle_on_null_corpus(spark, duck, null_sf, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, null_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = duck_fetch(duck, q.oracle)
+    problems = compare(sdf.columns, srows, ocols, orows)
+    assert not problems, f"{name}: {problems}"

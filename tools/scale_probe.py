@@ -41,6 +41,7 @@ EXTRA_QUERIES = (
     "q_dedup_incremental",
     "q_lm_score",
     "q_merge_upsert",
+    "q_dedup_simhash_wide",
 )
 
 

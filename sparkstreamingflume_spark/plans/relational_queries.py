@@ -457,14 +457,19 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-           CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+           CAST(sum(CASE WHEN event_type IS NULL
+                         OR event_type NOT IN ('click','view','purchase')
                     THEN 1 ELSE 0 END) AS BIGINT) AS other
     FROM events GROUP BY 1
     """,
     doc="Pivot: per-day event-type matrix. Spark's pivot() compiles to the "
     "same conditional-aggregate shape the SQL spells out — one combinable "
     "shuffle keyed on dt, column count fixed by the pivot value list "
-    "(always enumerate values at scale; inference double-scans).",
+    "(always enumerate values at scale; inference double-scans). A NULL "
+    "event_type lands in 'other' — spelled out in the oracle because "
+    "NOT IN alone is never true for NULL (three-valued logic) while "
+    "Spark's when/otherwise bucketing counts it; tests/test_null_corpus "
+    "certifies the agreement.",
     tags=("relational", "agg"),
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,9 +1090,15 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_partials"),
     )
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
-    # |event_type| is tiny — broadcast the exact side onto the merged side
-    return merged.join(F.broadcast(exact), "event_type").select(
-        "event_type",
+    # |event_type| is tiny — broadcast the exact side onto the merged
+    # side. eqNullSafe: both aggregates keep a NULL event_type group,
+    # and a plain equi-join would silently DROP it (NULL != NULL) —
+    # the classic lost-null-group bug in rollup-vs-rollup joins.
+    return merged.join(
+        F.broadcast(exact),
+        merged.event_type.eqNullSafe(exact.event_type),
+    ).select(
+        merged.event_type.alias("event_type"),
         "n_users",
         "n_partials",
         (

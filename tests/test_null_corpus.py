@@ -84,3 +84,69 @@ def test_doc_query_matches_oracle_on_null_corpus(spark, duck, null_sf, name):
     ocols, orows = duck_fetch(duck, q.oracle)
     problems = compare(sdf.columns, srows, ocols, orows)
     assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Events with NULL value / event_type / props. Event TIME and user_id stay
+# non-null (they are the engine's keys: event-time semantics and windows
+# are undefined without them — and the two engines even disagree on NULL
+# ordering defaults, Spark NULLS FIRST vs DuckDB NULLS LAST, so a pipeline
+# must drop or repair them at ingest). Built from sf0.01 so every
+# event_type group keeps >= ~100 non-null values — the documented domain
+# of the approx-aggregate rank-band verdicts. This suite caught two real
+# bugs when introduced: q_pivot's oracle sent NULL types nowhere (NOT IN
+# is never true for NULL) while Spark bucketed them into 'other', and
+# q_sketch_rollup's rollup-vs-rollup equi-join silently dropped the NULL
+# event_type group (NULL != NULL) — now an eqNullSafe join.
+# ---------------------------------------------------------------------------
+
+EV_SRC = "/root/testdata/sf0.01"
+
+EVENT_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "events" in q.oracle
+)
+
+
+@pytest.fixture(scope="module")
+def null_ev_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("null_ev_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    ev = pq.read_table(f"{EV_SRC}/events.parquet")
+    n = ev.num_rows
+
+    def with_nulls(col, step):
+        arr = ev[col].to_pylist()
+        for i in range(0, n, step):
+            arr[i] = None
+        return pa.array(arr, ev.schema.field(col).type)
+
+    cols = {name: ev[name] for name in ev.column_names}
+    cols["value"] = with_nulls("value", 7)
+    cols["event_type"] = with_nulls("event_type", 11)
+    cols["props"] = with_nulls("props", 13)
+    pq.write_table(pa.table(cols), str(out / "events.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck_ev(null_ev_sf):
+    con = duckdb.connect()
+    register_views(con, null_ev_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_matches_oracle_on_null_corpus(
+    spark, duck_ev, null_ev_sf, name
+):
+    q = REGISTRY[name]
+    sdf = q.build(spark, null_ev_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = duck_fetch(duck_ev, q.oracle)
+    problems = compare(sdf.columns, srows, ocols, orows)
+    assert not problems, f"{name}: {problems}"

@@ -511,16 +511,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT = "list_dot_product(a.emb, b.emb)"
 _COS_PPM = f"floor({_DOT} * 1000000.0 / (a.norm * b.norm))"
 
-_EMB_SQL = """
+# Validity gate (both dialects): NULL vectors and vectors with NULL
+# elements are malformed input — an upstream encoder bug or a failed
+# decode row — and must be FILTERED, not propagated: Spark silently
+# NULL-propagates them into dropped comparisons while DuckDB's
+# list_dot_product raises outright, so without this gate the two
+# engines cannot even be compared on dirty data
+# (tests/test_null_corpus.py certifies the family on such a corpus).
+_EMB_VALID_SQL = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+_EMB_SQL = f"""
     SELECT vec_id, embedding::DOUBLE[] AS emb,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
     FROM embeddings
+    WHERE {_EMB_VALID_SQL}
 """
+
+
+def _emb_valid(df: DataFrame) -> DataFrame:
+    """Spark twin of _EMB_VALID_SQL."""
+    return df.filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
 
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb double[], norm) — the shared similarity input."""
-    e = _embs(spark, sf_dir).select(
+    e = _emb_valid(_embs(spark, sf_dir)).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     dot_self = F.aggregate(
@@ -592,6 +613,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE {_EMB_VALID_SQL}
     ),
     m AS (
         SELECT vec_id, emb,
@@ -628,7 +650,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_embed_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir).select(
+    e = _emb_valid(_embs(spark, sf_dir)).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     ma = F.greatest(

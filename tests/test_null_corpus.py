@@ -150,3 +150,60 @@ def test_event_query_matches_oracle_on_null_corpus(
     ocols, orows = duck_fetch(duck_ev, q.oracle)
     problems = compare(sdf.columns, srows, ocols, orows)
     assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Embeddings with NULL vectors and NULL elements. Without the shared
+# validity gate (_EMB_VALID_SQL / _emb_valid) the engines cannot even be
+# compared on such data: DuckDB's list_dot_product raises
+# InvalidInputException outright while Spark silently NULL-propagates the
+# dot into dropped comparisons. Malformed vectors are filtered identically
+# on both sides. Probe/centroid ids (vec_id < 20) stay valid so the
+# queries' probe sets are non-trivial.
+# ---------------------------------------------------------------------------
+
+EMB_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "embeddings" in q.oracle
+)
+
+
+@pytest.fixture(scope="module")
+def null_emb_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("null_emb_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "events"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    arr = emb["embedding"].to_pylist()
+    for i in range(20, len(arr), 17):
+        arr[i] = None  # whole-vector NULL
+    for i in range(21, len(arr), 23):
+        if arr[i]:
+            arr[i] = [None if j == 3 else x for j, x in enumerate(arr[i])]
+    cols = {name: emb[name] for name in emb.column_names}
+    cols["embedding"] = pa.array(arr, emb.schema.field("embedding").type)
+    pq.write_table(pa.table(cols), str(out / "embeddings.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck_emb(null_emb_sf):
+    con = duckdb.connect()
+    register_views(con, null_emb_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_embed_query_matches_oracle_on_null_corpus(
+    spark, duck_emb, null_emb_sf, name
+):
+    q = REGISTRY[name]
+    sdf = q.build(spark, null_emb_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = duck_fetch(duck_emb, q.oracle)
+    problems = compare(sdf.columns, srows, ocols, orows)
+    assert not problems, f"{name}: {problems}"
+    assert srows, f"{name}: empty result — null fixture degenerated"

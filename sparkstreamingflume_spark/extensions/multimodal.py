@@ -513,6 +513,8 @@ def byte_histogram_features(payload: bytes, dim: int = 64):
     """
     import numpy as np
 
+    if dim <= 0 or 256 % dim:
+        raise ValueError(f"dim must divide 256, got {dim}")
     a = np.frombuffer(bytes(payload), dtype=np.uint8)
     if a.size == 0:
         return 0, 0.0, [0.0] * dim

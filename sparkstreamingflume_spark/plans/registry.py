@@ -87,14 +87,14 @@ def primary_queries() -> dict[str, Query]:
 # a driver row in some round. Next come the queries whose PLAN changed
 # this round (the inverted-index family gained the DF_CEIL stop-shingle
 # cutoff; q_sample_per_group was rewritten to the per-partition top-K
-# form), the FIVE round-6 newcomers (so no query waits a full round for
+# form), ALL SEVEN round-6 newcomers (so no query waits a full round for
 # its first driver row), the 12 bench headliners (fresh rows alongside
 # BENCH_r06), and the stalest remainder — everything whose last green
 # row is round 3, then a round-4 slice prioritizing §2 anchors and one
-# query per family (six round-4-green relational anchors rotated OUT
+# query per family (seven round-4-green relational anchors rotated OUT
 # to make room for the newcomers: q_distinct/q_except/q_intersect/
-# q_histogram/q_subqueries/q_topk keep their r4 rows + the every-round
-# pytest oracle gate). Queries OUTSIDE the window stay cross-engine-certified
+# q_histogram/q_subqueries/q_topk/q_cube keep their r4 rows + the
+# every-round pytest oracle gate). Queries OUTSIDE the window stay cross-engine-certified
 # every run by tools/validate.py and tests/test_oracle_extras.py (same
 # compare).
 # ---------------------------------------------------------------------------
@@ -117,6 +117,7 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_dedup_incremental",
     "q_lm_score",
     "q_merge_upsert",
+    "q_dedup_simhash_wide",
     # -- bench headliners (fresh rows alongside BENCH_r06) ------------------
     "q_tpch_q1",
     "q_window_sliding",
@@ -150,7 +151,6 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_semi_join",
     "q_count",
     "q_approx_percentile",
-    "q_cube",
     "q_rollup",
     "q_window_suite",
     "q_embed_ivf",

@@ -130,14 +130,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+# Longest suffix first: Spark's JavaUtils.byteStringAs accepts both the
+# short and the 'Xb' forms ("128m" AND "128mb"), so "mb" must match
+# before the bare trailing "b" swallows it.
+_SIZE_SUFFIX = [
+    ("pb", 1 << 50),
+    ("tb", 1 << 40),
+    ("gb", 1 << 30),
+    ("mb", 1 << 20),
+    ("kb", 1 << 10),
+    ("p", 1 << 50),
+    ("t", 1 << 40),
+    ("g", 1 << 30),
+    ("m", 1 << 20),
+    ("k", 1 << 10),
+    ("b", 1),
+]
 
 
 def _parse_bytes(raw: str) -> int:
-    """Spark byte-size conf string ("128m", "134217728b", "1g") -> bytes."""
+    """Spark byte-size conf string ("128m", "256mb", "134217728b") -> bytes."""
     s = raw.strip().lower()
-    for suf, mult in _SIZE_SUFFIX.items():
-        if s.endswith(suf):
+    for suf, mult in _SIZE_SUFFIX:
+        if s.endswith(suf) and s[: -len(suf)].isdigit():
             return int(s[: -len(suf)]) * mult
     return int(s)
 

@@ -53,10 +53,23 @@ BANDS_SCHEMA = "b int, band_hash string, batch_id long"
 
 
 def _read_index(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """The index dir may not exist yet (first batch) — empty frame then."""
-    if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    """The index dir may not exist yet (first batch) — empty frame then.
+
+    Existence is probed by ATTEMPTING the read and catching the
+    missing-path analysis error, not via os.path — the index can live on
+    any Hadoop filesystem (hdfs://, s3a://), where a local isdir() is
+    always False and would silently disable dedup forever.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.schema  # force analysis so a missing path raises HERE
+        return df
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def incremental_dedup_batch(
@@ -124,15 +137,21 @@ def incremental_dedup_batch(
         .unionByName(local_near)
         .distinct()
     )
+    from sparkstreamingflume_spark.streaming.sinks import (
+        write_batch_parquet_idempotent,
+    )
+
     survivors = sigged.join(drop, id_col, "leftanti").persist()
     try:
         # idempotent per-batch output dir (replay rewrites, never doubles)
-        (
-            survivors.drop("sig")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_id={batch_id}")
+        write_batch_parquet_idempotent(
+            survivors.drop("sig"), batch_id, out_dir
         )
-        # append the survivors' signatures — the additive index update
+        # append the survivors' signatures — the additive index update.
+        # Bands are REUSED from the probe frame via a semi-join on the
+        # survivor ids rather than recomputed: the shingle explode + 16
+        # permutation min-aggs is the batch's most expensive subtree, and
+        # running it twice doubled the per-batch CPU floor.
         (
             survivors.select("sig")
             .distinct()
@@ -141,11 +160,7 @@ def incremental_dedup_batch(
             .parquet(f"{index_dir}/exact")
         )
         (
-            minhash_bands(
-                survivors.filter(F.size(tokens(text_col)) >= 3),
-                id_col,
-                text_col,
-            )
+            bands.join(survivors.select(id_col), id_col, "leftsemi")
             .select("b", "band_hash")
             .distinct()
             .withColumn("batch_id", F.lit(batch_id))
@@ -189,9 +204,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     break it: a key first indexed by batch 2 and re-appended by a
     replayed batch 5 would vanish from batch 5's own probe view.)
 
-    Runs as one combinable min-aggregation per index; the rewrite goes
-    through a temp dir + atomic-enough rename so a crash mid-compact
-    leaves either the old or the new index, never a partial one.
+    Runs as one combinable min-aggregation per index. Crash protocol
+    (local-FS rename swap): the window with no live index dir is the
+    instant between the two renames, so every call FIRST recovers from a
+    prior crash — a leftover ``.{sub}_old`` with no live ``{sub}`` is
+    renamed back (crash was mid-swap; the old index is intact and
+    correct), and a leftover ``.{sub}_old`` WITH a live ``{sub}`` is
+    deleted (crash was pre-cleanup; the new index already serves). A
+    batch running concurrently could still observe the rename gap —
+    schedule compaction between batches (e.g. from the foreachBatch
+    thread itself), not alongside them.
     Returns per-index (rows_before, rows_after).
     """
     import shutil
@@ -200,6 +222,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     stats = {}
     for sub, key_cols in (("exact", ["sig"]), ("bands", ["b", "band_hash"])):
         path = f"{index_dir}/{sub}"
+        old = f"{index_dir}/.{sub}_old"
+        # recovery from a previous crashed compaction (see docstring)
+        if os.path.isdir(old):
+            if os.path.isdir(path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)
         if not os.path.isdir(path):
             continue
         before = spark.read.parquet(path)
@@ -210,7 +239,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         tmp = tempfile.mkdtemp(dir=index_dir, prefix=f".{sub}_compact_")
         compacted.write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
-        old = f"{index_dir}/.{sub}_old"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -133,3 +133,30 @@ def test_compact_index_preserves_semantics(spark, tmp_path):
     assert _survivor_ids(spark, out) == {1, 2, 3, 6}
     _run_batch(spark, [(4, FOX), (5, THIRD), (6, "totally novel words")], 2, ix, out)
     assert _survivor_ids(spark, out) == {1, 2, 3, 6}
+
+
+def test_compact_index_recovers_from_crash_states(spark, tmp_path):
+    import os
+    import shutil
+
+    from sparkstreamingflume_spark.streaming.neardup import compact_index
+
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    _run_batch(spark, [(1, FOX), (2, OTHER)], 0, ix, out)
+
+    # crash state A: swap half-done — old exists, live dir missing
+    os.rename(str(ix / "exact"), str(ix / ".exact_old"))
+    stats = compact_index(spark, str(ix))
+    assert "exact" in stats  # recovered the old dir and compacted it
+    assert os.path.isdir(str(ix / "exact"))
+    assert not os.path.isdir(str(ix / ".exact_old"))
+
+    # crash state B: cleanup missed — stale old next to a live dir
+    shutil.copytree(str(ix / "bands"), str(ix / ".bands_old"))
+    stats = compact_index(spark, str(ix))
+    assert "bands" in stats
+    assert not os.path.isdir(str(ix / ".bands_old"))
+
+    # the index still answers probes correctly after both recoveries
+    _run_batch(spark, [(3, FOX), (4, "entirely new never seen words")], 1, ix, out)
+    assert _survivor_ids(spark, out) == {1, 2, 4}

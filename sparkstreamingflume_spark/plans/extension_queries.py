@@ -74,7 +74,8 @@ REP_DUP6_MAX_PPM = 100_000  # repetition filter: duplicate 6-grams <= 10%
 DF_CEIL = 128
 
 # Band-bucket population ceiling for the PAIR-ENUMERATING LSH queries
-# (q_dedup_minhash, q_dedup_candidates_verified, q_dedup_embed_lsh) — the
+# (q_dedup_minhash, q_dedup_candidates_verified, q_dedup_embed_lsh,
+# q_dedup_simhash_pairs, q_dedup_simhash_wide) — the
 # band-bucket analog of DF_CEIL: a bucket holding B docs emits O(B²)
 # candidate rows from the self-join, and mass-duplicated content (10k
 # copies of one page share every band) makes B ~ corpus size. RECALL
@@ -1726,11 +1727,18 @@ SIMHASH_MAX_HAMMING = 3
 @query(
     "q_dedup_simhash_pairs",
     f"""
-    WITH {_SIMHASH_CTES}
+    WITH {_SIMHASH_CTES},
+    hprune AS (
+        SELECT doc_id, simhash, half, half_val FROM (
+            SELECT doc_id, simhash, half, half_val,
+                   count(*) OVER (PARTITION BY half, half_val) AS bsz_
+            FROM halves
+        ) WHERE bsz_ <= {BUCKET_CEIL}
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM halves a
-    JOIN halves b ON a.half = b.half AND a.half_val = b.half_val
+    FROM hprune a
+    JOIN hprune b ON a.half = b.half AND a.half_val = b.half_val
                   AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
@@ -1738,15 +1746,20 @@ SIMHASH_MAX_HAMMING = 3
     "two bytes; pairs sharing either byte are candidates (pigeonhole: "
     "any pair within hamming<=1 must share a half; wider radii trade "
     "recall), then verified with bit_count(xor)<=3. Join key is the "
-    "byte bucket — the same equi-join shape as MinHash banding. Scale "
-    "lever: bucket population is |docs| / 2^half_bits, so the 100 TB "
-    "form WIDENS the signature (64-bit sig, 4x16-bit halves = 65k "
-    "buckets per half) to keep expected bucket size bounded — a "
-    "BUCKET_CEIL drop would be wrong here because these coarse buckets "
-    "hold mostly-unrelated docs, and dropping a hot one loses genuine "
-    "near-dups that share the byte; the 16-bit width certifies the "
-    "semantics at fixture scale and q_dedup_simhash_wide IS the wide "
-    "form, also oracle-certified.",
+    "byte bucket — the same equi-join shape as MinHash banding, and the "
+    "same BUCKET_CEIL count-window prune bounds the self-join: a half "
+    "bucket holding B docs emits O(B²) candidate rows, and mass "
+    "duplication puts an entire copy-set in the SAME two half buckets at "
+    "any signature width, so width alone is not a skew defense. RECALL "
+    "CONTRACT (as for minhash): hamming-0 mass dropped here stays "
+    "recoverable via q_dedup_exact / q_dedup_clusters; a genuine near-dup "
+    "pair is lost only if BOTH shared halves are over-ceiling — at this "
+    "coarse 8-bit granularity that also drops unrelated-doc pairs that "
+    "merely share the byte, which is why the 100 TB primary WIDENS the "
+    "signature first (q_dedup_simhash_wide: 15-bit quarters, 32k buckets "
+    "each, same ceiling composed on top). Fixture max half-bucket is 97 "
+    "at sf0.01, so driver rows are bit-identical with or without the "
+    "ceiling; the engagement fixture lives in tests/test_dedup_skew.py.",
     tags=("dedup",),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,6 +1773,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftright("simhash", 8).bitwiseAND(255),
             )
         ).alias("half", "half_val"),
+    )
+    hw = Window.partitionBy("half", "half_val")
+    halves = (
+        halves.withColumn("bsz_", F.count("*").over(hw))
+        .filter(F.col("bsz_") <= BUCKET_CEIL)
+        .drop("bsz_")
     )
     a, b = halves.alias("a"), halves.alias("b")
     hamming = F.bit_count(
@@ -2663,10 +2682,17 @@ _WIDE_BITS_SQL = " + ".join(
                (sh >> (quarter * {WIDE_BITS // WIDE_Q}))
                    & {(1 << (WIDE_BITS // WIDE_Q)) - 1} AS qv
         FROM sigs, (SELECT unnest(generate_series(0, {WIDE_Q - 1})) AS quarter)
+    ),
+    qprune AS (
+        SELECT doc_id, sh, quarter, qv FROM (
+            SELECT doc_id, sh, quarter, qv,
+                   count(*) OVER (PARTITION BY quarter, qv) AS bsz_
+            FROM q
+        ) WHERE bsz_ <= {BUCKET_CEIL}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh, b.sh)) AS hamming
-    FROM q a JOIN q b ON a.quarter = b.quarter AND a.qv = b.qv
+    FROM qprune a JOIN qprune b ON a.quarter = b.quarter AND a.qv = b.qv
                       AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
     """,
@@ -2674,15 +2700,21 @@ _WIDE_BITS_SQL = " + ".join(
     "16-bit q_dedup_simhash_pairs certifies semantically: 4 x 15-bit "
     "quarter bands give 32k buckets per band, so expected bucket "
     "population at a given corpus size is 128x smaller than the "
-    "two-byte form's (the signature-WIDTH lever; compose with "
-    "BUCKET_CEIL if mass duplication still produces hot buckets). "
-    "Pigeonhole preserves exact radius-3 recall: <= 3 differing bits "
-    "cannot touch all 4 quarters. The corpus is doubled (as in "
-    "q_dedup_exact) so the fixture exercises both the hamming-0 exact "
-    "path and genuine near-dups. One token explode, one 60-column "
-    "map-side-combinable vote aggregate, quarter-bucket equi-join — "
-    "no all-pairs anything. Extra: how-variant of "
-    "q_dedup_simhash_pairs; certified by the pytest oracle gate.",
+    "two-byte form's (the signature-WIDTH lever), COMPOSED with the "
+    "BUCKET_CEIL count-window prune: width bounds the organic bucket "
+    "population, but mass duplication lands an entire copy-set in the "
+    "same 4 quarter buckets at ANY width, so the ceiling is still the "
+    "only bound on the self-join's O(B²) output (recall contract as in "
+    "q_dedup_minhash — dropped hamming-0 mass stays recoverable via "
+    "q_dedup_exact / q_dedup_clusters; engagement fixture in "
+    "tests/test_dedup_skew.py). Pigeonhole preserves exact radius-3 "
+    "recall on sub-ceiling buckets: <= 3 differing bits cannot touch "
+    "all 4 quarters. The corpus is doubled (as in q_dedup_exact) so the "
+    "fixture exercises both the hamming-0 exact path and genuine "
+    "near-dups. One token explode, one 60-column map-side-combinable "
+    "vote aggregate, quarter-bucket equi-join — no all-pairs anything. "
+    "Extra: how-variant of q_dedup_simhash_pairs; certified by the "
+    "pytest oracle gate.",
     tags=("dedup",),
     extra=True,
 )
@@ -2726,6 +2758,12 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("quarter", "qv"),
+    )
+    qw_win = Window.partitionBy("quarter", "qv")
+    quarters = (
+        quarters.withColumn("bsz_", F.count("*").over(qw_win))
+        .filter(F.col("bsz_") <= BUCKET_CEIL)
+        .drop("bsz_")
     )
     a, b = quarters.alias("a"), quarters.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))

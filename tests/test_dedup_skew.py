@@ -115,26 +115,53 @@ def _hot_bucket_corpus(tmp_path, n_dups: int, n_unique: int = 40) -> str:
     return str(out)
 
 
-def test_bucket_ceiling_bounds_minhash_pairs(spark, tmp_path):
-    """BUCKET_CEIL engagement: 100 identical docs (buckets of 100 <=
-    ceiling) emit all C(100,2) pairs; 200 identical docs (buckets of 200
-    > ceiling) emit ZERO pairs from the mega-bucket instead of C(200,2)
-    — and the oracle, with the ceiling mirrored, still hash-matches.
-    The mega-cluster itself is NOT lost: q_dedup_exact groups the
-    identical texts and q_dedup_clusters (bipartite, uncapped) still
-    forms the single 200-doc cluster without enumerating pairs."""
+# (name, n_dups_small, n_dups_big): q_dedup_simhash_wide doubles its
+# corpus internally (doc_id + 1M twin per doc), so 50/100 source dups put
+# 100/200 members in each quarter bucket — same engagement points as the
+# undoubled families. Its doubled unique docs pair with their own twins
+# (hamming 0), so assertions are restricted to the mega-cluster's ids.
+_HOT_FAMILY = [
+    ("q_dedup_minhash", 100, 200, 1),
+    ("q_dedup_simhash_pairs", 100, 200, 1),
+    ("q_dedup_simhash_wide", 50, 100, 2),
+]
+
+
+@pytest.mark.parametrize("name,n_small,n_big,mult", _HOT_FAMILY)
+def test_bucket_ceiling_bounds_hot_pairs(spark, tmp_path, name, n_small, n_big, mult):
+    """BUCKET_CEIL engagement, parametrized over every pair-enumerating
+    LSH family: identical docs share EVERY band/half/quarter bucket, so
+    n_dups <= ceiling emits all C(n,2) mega-cluster pairs while
+    n_dups > ceiling emits ZERO pairs from the mega-bucket instead of
+    C(n,2) — and the oracle, with the ceiling mirrored, still
+    hash-matches on the ceiling-active corpus. The mega-cluster itself
+    is NOT lost: q_dedup_exact groups the identical texts and
+    q_dedup_clusters (bipartite, uncapped) still forms the single
+    cluster without enumerating pairs."""
     from sparkstreamingflume_spark.plans.extension_queries import BUCKET_CEIL
 
     assert 100 <= BUCKET_CEIL < 200, "fixture sized around the ceiling"
     small, big = (
-        _hot_bucket_corpus(tmp_path, 100),
-        _hot_bucket_corpus(tmp_path, 200),
+        _hot_bucket_corpus(tmp_path, n_small),
+        _hot_bucket_corpus(tmp_path, n_big),
     )
-    q = REGISTRY["q_dedup_minhash"]
-    assert q.build(spark, small).count() == 100 * 99 // 2
+
+    def _dup_pairs(rows):
+        # pairs fully inside the mega-cluster (dup ids are < 10_000 and,
+        # for the internally-doubled wide variant, their +1M twins)
+        def is_dup(i):
+            return i % 1_000_000 < 10_000
+
+        return [r for r in rows if is_dup(r[0]) and is_dup(r[1])]
+
+    q = REGISTRY[name]
+    small_rows = [tuple(r) for r in q.build(spark, small).collect()]
+    n_members = n_small * mult
+    assert len(_dup_pairs(small_rows)) == n_members * (n_members - 1) // 2
+
     big_df = q.build(spark, big)
     big_rows = [tuple(r) for r in big_df.collect()]
-    assert len(big_rows) == 0  # mega-bucket dropped, uniques never pair
+    assert len(_dup_pairs(big_rows)) == 0  # mega-bucket dropped
 
     con = duckdb.connect()
     try:
@@ -149,8 +176,8 @@ def test_bucket_ceiling_bounds_minhash_pairs(spark, tmp_path):
 
     # the consumers that must still handle the mega-cluster:
     exact = REGISTRY["q_dedup_exact"].build(spark, big)
-    dup_groups = [r for r in exact.collect() if r["n_copies"] >= 200]
+    dup_groups = [r for r in exact.collect() if r["n_copies"] >= n_big]
     assert dup_groups, "exact dedup lost the mega-cluster"
     clusters = REGISTRY["q_dedup_clusters"].build(spark, big).collect()
     mega = [r for r in clusters if r["cluster_id"] == 0]
-    assert len(mega) == 200, "bipartite clustering must keep mega-clusters"
+    assert len(mega) == n_big, "bipartite clustering must keep mega-clusters"

@@ -80,82 +80,81 @@ def primary_queries() -> dict[str, Query]:
 # The driver certifies at most 50 queries()/oracle_sql() entries per round,
 # but the registry holds more (len(REGISTRY) — don't hard-code it; the
 # count drifts as operators land). Rather than burning the same 50 slots
-# every round, the window ROTATES. Round-6 rationale: the top priority is
-# the SIX registry entries that have never had a driver row (the round-5
-# newcomers — round 5's window correctly spent its slots re-certifying the
-# events blast radius instead); with them green, every registry query has
-# a driver row in some round. Next come the queries whose PLAN changed
-# this round (the inverted-index family gained the DF_CEIL stop-shingle
-# cutoff; q_sample_per_group was rewritten to the per-partition top-K
-# form), ALL SEVEN round-6 newcomers (so no query waits a full round for
-# its first driver row), the 12 bench headliners (fresh rows alongside
-# BENCH_r06), and the stalest remainder — everything whose last green
-# row is round 3, then a round-4 slice prioritizing §2 anchors and one
-# query per family (seven round-4-green relational anchors rotated OUT
-# to make room for the newcomers: q_distinct/q_except/q_intersect/
-# q_histogram/q_subqueries/q_topk/q_cube keep their r4 rows + the
-# every-round pytest oracle gate). Queries OUTSIDE the window stay cross-engine-certified
-# every run by tools/validate.py and tests/test_oracle_extras.py (same
-# compare).
+# every round, the window ROTATES. Round-7 rationale: with the 101-query
+# ledger fully closed in round 6 (every registry entry has a green driver
+# row in some round), the window's job is pure staleness control — the
+# round-6 verdict's target is "no registry query's newest driver row older
+# than two rounds". Slots, in priority order: (1) the queries whose PLAN
+# changed this round (the SimHash pair family gained the BUCKET_CEIL
+# count-window prune; q_embed_quantize_topk gained IVF cell gating) so the
+# changed plans get driver rows, (2) ALL 22 primaries whose last row is
+# round 5 (the §2 line-op block: md5-mask/filter-prefix/field-extract/
+# 44-to-10/lookup-build/..., plus windows, joins, pagerank), (3) the 14
+# round-4-green extras (the relational anchors q_distinct/q_cube/
+# q_intersect/q_except/q_histogram/q_subqueries/q_topk plus the corpus-prep
+# family), (4) 11 of the 15 round-5-green extras. The four r5 extras left
+# out (q_dedup_simhash, q_cluster_sort_bucketed, q_count_by_type_salted,
+# q_enrich_join_salted) are strict subsets / how-variants of primaries
+# that ARE in this window, and every extra is cross-engine-certified every
+# run by tools/validate.py and tests/test_oracle_extras.py (same compare);
+# the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- never driver-certified: the round-5 newcomers ----------------------
-    "q_dedup_containment",
-    "q_dedup_embed_lsh",
-    "q_doc_chunk",
-    "q_sample_per_group",
-    "q_session_window",
-    "q_tfidf",
-    # -- plan changed this round (DF_CEIL prune; top-K sampler) -------------
-    "q_dedup_ngram_jaccard",
-    "q_dedup_candidates_verified",
-    # -- round-6 newcomers --------------------------------------------------
-    "q_dedup_block",
-    "q_embed_quantize_topk",
-    "q_train_test_split",
-    "q_dedup_incremental",
-    "q_lm_score",
-    "q_merge_upsert",
-    "q_dedup_simhash_wide",
-    # -- bench headliners (fresh rows alongside BENCH_r06) ------------------
-    "q_tpch_q1",
-    "q_window_sliding",
-    "q_dedup_exact",
-    "q_join_bigbig",
-    "q_embed_topk",
-    "q_broadcast_join",
-    "q_dedup_minhash",
-    "q_group_concat",
-    "q_sessionize",
-    "q_gprs_pipeline",
-    "q_corpus_prep",
-    # -- stalest: last driver row was round 3 -------------------------------
+    # -- plan changed this round (BUCKET_CEIL on simhash; IVF-gated topk) ---
     "q_dedup_simhash_pairs",
-    "q_doc_fingerprint",
-    "q_embed_ivf_search",
-    "q_grouping_sets",
-    "q_multimodal_meta",
-    "q_percentile",
-    "q_rank_topn_per_group",
-    "q_semi_anti",
-    "q_set_ops",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_topterms",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    # -- round-4 slice: §2 anchors + one per relational family --------------
-    "q_anti_join",
-    "q_semi_join",
-    "q_count",
-    "q_approx_percentile",
-    "q_rollup",
-    "q_window_suite",
-    "q_embed_ivf",
-    "q_dedup_embed_cosine_bruteforce",
-    "q_token_count",
+    "q_dedup_simhash_wide",
+    "q_embed_quantize_topk",
+    # -- primaries whose last driver row is round 5 -------------------------
+    "q_approx_aggs",
+    "q_asof_join",
+    "q_cluster_sort",
+    "q_count_by_type",
+    "q_count_distinct",
+    "q_dedup_clusters",
+    "q_dedup_embed_cosine",
+    "q_dedup_keep_best",
+    "q_field_extract",
+    "q_filter_prefix",
+    "q_json_extract",
+    "q_left_join_default",
+    "q_lookup_build",
+    "q_md5_mask_multi",
+    "q_pagerank",
+    "q_pivot",
+    "q_project_44to10",
+    "q_project_kv",
+    "q_range_join",
+    "q_time_rollup",
+    "q_union",
+    "q_window_tumbling",
+    # -- round-4-green extras (stalest rows in the ledger) ------------------
+    "q_contamination",
+    "q_cube",
+    "q_data_mix",
+    "q_distinct",
+    "q_except",
+    "q_histogram",
+    "q_intersect",
+    "q_pii_scrub",
+    "q_profile",
+    "q_sample_stratified",
+    "q_seq_pack",
+    "q_subqueries",
+    "q_text_normalize",
+    "q_topk",
+    # -- round-5-green extras (minus the four in-window-twin variants) ------
+    "q_approx_count_distinct",
+    "q_date_bucket",
+    "q_dirty_filter",
+    "q_fanout_dup",
+    "q_field_drop",
+    "q_json_typed",
+    "q_lag_delta",
+    "q_md5_mask",
+    "q_moving_window",
+    "q_rep_filter",
+    "q_sketch_rollup",
 )
 
 

@@ -41,8 +41,6 @@ file drops); capability extension (SURVEY.md §2 LLM-pipeline track).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,7 +65,11 @@ def _read_index(spark: SparkSession, path: str, schema: str) -> DataFrame:
         df.schema  # force analysis so a missing path raises HERE
         return df
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # the PATH_NOT_FOUND error class exists only on Spark >= 3.4;
+        # older Sparks raise the bare "Path does not exist" message, so
+        # match both forms — bootstrap must not depend on one version's
+        # error class
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return spark.createDataFrame([], schema)
         raise
 
@@ -97,7 +99,15 @@ def incremental_dedup_batch(
         F.col("batch_id") < batch_id
     )
 
-    sigged = batch.withColumn("sig", F.md5(F.col(text_col)))
+    # NULL-text rows: md5(NULL) is a NULL sig, which matches no drop set
+    # and would be kept (and its NULL sig appended to the index) — but
+    # the batch twin's contract (q_dedup_incremental: "unknown content
+    # matches nothing and is NOT kept", keep=0) is that NULL content is
+    # dropped. Filter them out up front so neither the survivor output
+    # nor the index ever sees a NULL signature.
+    sigged = batch.filter(F.col(text_col).isNotNull()).withColumn(
+        "sig", F.md5(F.col(text_col))
+    )
     bands = minhash_bands(
         sigged.filter(F.size(tokens(text_col)) >= 3), id_col, text_col
     )
@@ -191,6 +201,21 @@ def attach_incremental_dedup(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the session's Hadoop conf.
+
+    This is what makes index maintenance FS-agnostic: the same calls
+    resolve to the local FS, HDFS, or an object store depending on the
+    path scheme — unlike ``os.path``/``os.rename``, which silently see
+    nothing on ``hdfs://``/``s3a://`` paths (the bug class the read
+    path at :func:`_read_index` already avoids by probing via Spark).
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Rewrite both signature indexes to one row per distinct key.
 
@@ -204,43 +229,55 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     break it: a key first indexed by batch 2 and re-appended by a
     replayed batch 5 would vanish from batch 5's own probe view.)
 
-    Runs as one combinable min-aggregation per index. Crash protocol
-    (local-FS rename swap): the window with no live index dir is the
-    instant between the two renames, so every call FIRST recovers from a
-    prior crash — a leftover ``.{sub}_old`` with no live ``{sub}`` is
-    renamed back (crash was mid-swap; the old index is intact and
-    correct), and a leftover ``.{sub}_old`` WITH a live ``{sub}`` is
-    deleted (crash was pre-cleanup; the new index already serves). A
-    batch running concurrently could still observe the rename gap —
-    schedule compaction between batches (e.g. from the foreachBatch
-    thread itself), not alongside them.
+    Runs as one combinable min-aggregation per index. All directory
+    manipulation goes through the Hadoop FileSystem API resolved from
+    the index path's own scheme, so compaction works wherever the index
+    lives (local, ``hdfs://``, ``s3a://``) — NOTE the swap protocol
+    assumes atomic directory rename, which holds on local FS and HDFS;
+    on object stores without atomic rename (raw S3) run compaction only
+    when no concurrent reader is active. Crash protocol (rename swap):
+    the window with no live index dir is the instant between the two
+    renames, so every call FIRST recovers from a prior crash — leftover
+    ``.{sub}_compact_*`` tmp dirs from a crashed write are swept, then a
+    leftover ``.{sub}_old`` with no live ``{sub}`` is renamed back
+    (crash was mid-swap; the old index is intact and correct), and a
+    leftover ``.{sub}_old`` WITH a live ``{sub}`` is deleted (crash was
+    pre-cleanup; the new index already serves). A batch running
+    concurrently could still observe the rename gap — schedule
+    compaction between batches (e.g. from the foreachBatch thread
+    itself), not alongside them.
     Returns per-index (rows_before, rows_after).
     """
-    import shutil
-    import tempfile
-
+    fs, jroot = _hadoop_fs(spark, index_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     stats = {}
     for sub, key_cols in (("exact", ["sig"]), ("bands", ["b", "band_hash"])):
         path = f"{index_dir}/{sub}"
         old = f"{index_dir}/.{sub}_old"
-        # recovery from a previous crashed compaction (see docstring)
-        if os.path.isdir(old):
-            if os.path.isdir(path):
-                shutil.rmtree(old)
+        jp, jold = jvm_path(path), jvm_path(old)
+        # sweep tmp dirs leaked by a compaction that crashed mid-write
+        if fs.exists(jroot):
+            for st in fs.listStatus(jroot):
+                if st.getPath().getName().startswith(f".{sub}_compact_"):
+                    fs.delete(st.getPath(), True)
+        # recovery from a previous crashed swap (see docstring)
+        if fs.exists(jold):
+            if fs.exists(jp):
+                fs.delete(jold, True)
             else:
-                os.rename(old, path)
-        if not os.path.isdir(path):
+                fs.rename(jold, jp)
+        if not fs.exists(jp):
             continue
         before = spark.read.parquet(path)
         n_before = before.count()
         compacted = before.groupBy(*key_cols).agg(
             F.min("batch_id").alias("batch_id")
         )
-        tmp = tempfile.mkdtemp(dir=index_dir, prefix=f".{sub}_compact_")
+        tmp = f"{index_dir}/.{sub}_compact_tmp"
         compacted.write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        fs.rename(jp, jold)
+        fs.rename(jvm_path(tmp), jp)
+        fs.delete(jold, True)
         stats[sub] = (n_before, n_after)
     return stats

@@ -160,3 +160,41 @@ def test_compact_index_recovers_from_crash_states(spark, tmp_path):
     # the index still answers probes correctly after both recoveries
     _run_batch(spark, [(3, FOX), (4, "entirely new never seen words")], 1, ix, out)
     assert _survivor_ids(spark, out) == {1, 2, 4}
+
+
+def test_compact_index_sweeps_leaked_tmp_dirs(spark, tmp_path):
+    import os
+
+    from sparkstreamingflume_spark.streaming.neardup import compact_index
+
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    _run_batch(spark, [(1, FOX), (2, OTHER)], 0, ix, out)
+
+    # crash state C: a compaction died mid-write, leaking its tmp dir
+    leaked = ix / ".exact_compact_tmp"
+    os.makedirs(leaked)
+    with open(leaked / "part-junk.parquet", "w") as f:
+        f.write("not parquet")
+    stats = compact_index(spark, str(ix))
+    assert "exact" in stats
+    assert not os.path.exists(str(leaked))  # swept before the rewrite
+    # live index still healthy
+    sigs = spark.read.parquet(str(ix / "exact"))
+    assert sigs.count() == 2
+
+
+def test_null_text_docs_are_dropped_not_indexed(spark, tmp_path):
+    """NULL-content contract parity with q_dedup_incremental: unknown
+    content matches nothing and is NOT kept — a NULL-text doc must not
+    survive, and no NULL sig may reach the exact index (where it would
+    be dead weight every later probe pays for)."""
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    _run_batch(spark, [(1, FOX), (2, None), (3, OTHER)], 0, ix, out)
+    assert _survivor_ids(spark, out) == {1, 3}
+    sigs = spark.read.parquet(str(ix / "exact"))
+    assert sigs.filter("sig IS NULL").count() == 0
+    assert sigs.count() == 2
+
+    # a later NULL-text doc is still dropped, novel docs still kept
+    _run_batch(spark, [(4, None), (5, "novel words never indexed before")], 1, ix, out)
+    assert _survivor_ids(spark, out) == {1, 3, 5}

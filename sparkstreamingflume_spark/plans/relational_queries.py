@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkstreamingflume_spark.plans.registry import query
-from sparkstreamingflume_spark.session import load_table
+from sparkstreamingflume_spark.session import input_bytes, load_table
+
+# q_merge_upsert's feed-broadcast guard: the hint is applied only while
+# the events source behind the change feed is at most this many on-disk
+# bytes (1 GiB of compressed events dedups to well under the default
+# executor broadcast budget); larger feeds degrade to an unhinted join
+# and let AQE decide from the feed's RUNTIME size. See the query doc.
+FEED_BROADCAST_MAX_SRC_BYTES = 1 << 30
 
 # Money → exact integer cents, identically on both engines (floor on
 # identical doubles is bit-deterministic; BIGINT sums are order-free).
@@ -1365,7 +1372,15 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from a LEFT ANTI of the feed against the snapshot's KEY COLUMN "
     "only — the single shuffle moves 8-byte keys, not rows. The "
     "change-feed dedup is a per-key window whose sort is bounded by one "
-    "key's events. Reference contrast: its only state evolution was "
+    "key's events. The feed broadcast is SIZE-GUARDED, not forced: the "
+    "hint applies only while the events scan behind the feed totals "
+    "<= FEED_BROADCAST_MAX_SRC_BYTES (a daily dim feed; the post-dedup "
+    "feed is strictly smaller than its source), and DEGRADES to an "
+    "unhinted join beyond it — a month-long catch-up replay or a 100x "
+    "key space would otherwise push a driver-side build of |active "
+    "keys| rows; unhinted, AQE still broadcasts at runtime when the "
+    "deduped feed actually fits, and falls back to a shuffle join when "
+    "it does not. Reference contrast: its only state evolution was "
     "overwrite-by-directory (src/ProcessSums.scala:237-331); this gives "
     "its users keyed row-level upsert semantics. Extra: certified by "
     "the pytest oracle gate.",
@@ -1375,6 +1390,11 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
+    # feed-fits guard (see docstring): probe the source scan's file
+    # bytes — no job, no planning pass — and only hint broadcast under
+    # the cap; None (non-file / remote FS) is treated as "assume big"
+    src_bytes = input_bytes(ev)
+    feed_fits = src_bytes is not None and src_bytes <= FEED_BROADCAST_MAX_SRC_BYTES
     shift = (
         c.agg(F.max("c_custkey").alias("mx"))
         .crossJoin(F.broadcast(ev.agg(F.countDistinct("user_id").alias("u"))))
@@ -1394,7 +1414,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     upd = (
-        c.join(F.broadcast(latest), c.c_custkey == latest.key, "left")
+        c.join(
+            F.broadcast(latest) if feed_fits else latest,
+            c.c_custkey == latest.key,
+            "left",
+        )
         .select(
             c.c_custkey.alias("key"),
             F.when(

@@ -157,13 +157,12 @@ def _parse_bytes(raw: str) -> int:
     return int(s)
 
 
-def _estimated_scan_tasks(df) -> int | None:
-    """Driver-side estimate of a file-backed frame's scan parallelism:
-    ceil(total file bytes / maxPartitionBytes). None for non-file frames
-    (range, in-memory, streaming) — callers fall back to the exact probe.
-    Uses the already-materialized file index (``inputFiles``) + local FS
-    stats, avoiding the full analysis + physical-planning pass that
-    ``df.rdd.getNumPartitions()`` forces per wrapped scan.
+def input_bytes(df) -> int | None:
+    """Total on-disk bytes behind a file-backed frame's scan, or None
+    when unknowable cheaply (non-file frames, non-local FS). Uses the
+    already-materialized file index (``inputFiles``) + local FS stats —
+    no Spark job, no extra planning pass. Callers treating None as
+    "assume big" stay conservative on remote filesystems.
     """
     try:
         files = df.inputFiles()
@@ -175,8 +174,19 @@ def _estimated_scan_tasks(df) -> int | None:
     for uri in files:
         path = uri[len("file:") :] if uri.startswith("file:") else uri
         if not os.path.exists(path):
-            return None  # non-local FS — let the caller use the exact probe
+            return None  # non-local FS
         total += os.path.getsize(path)
+    return total
+
+
+def _estimated_scan_tasks(df) -> int | None:
+    """Driver-side estimate of a file-backed frame's scan parallelism:
+    ceil(total file bytes / maxPartitionBytes). None for non-file frames
+    (range, in-memory, streaming) — callers fall back to the exact probe.
+    """
+    total = input_bytes(df)
+    if total is None:
+        return None
     mpb = _parse_bytes(
         df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )

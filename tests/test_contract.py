@@ -413,3 +413,33 @@ def test_merge_upsert_is_broadcast_merge_decomposition(spark):
     assert plan.count("BroadcastHashJoin") >= 1, plan
     ops = {r["op"] for r in df.collect()}
     assert ops == {"keep", "update", "insert"}  # delete rows filtered out
+
+
+def test_merge_upsert_broadcast_is_size_guarded(spark, monkeypatch):
+    """The feed broadcast hint must DEGRADE, not force: when the events
+    source behind the change feed exceeds the byte cap (simulated by a
+    zeroed cap), the update join is built unhinted — AQE may still pick
+    broadcast at runtime from the feed's actual size, but a driver-side
+    build is no longer mandated — and results are identical either way."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans import relational_queries as rq
+
+    sf = "/root/testdata/sf0.001"
+
+    def hint_count(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    hinted_df = REGISTRY["q_merge_upsert"].build(spark, sf)
+    n_hints_fixture = hint_count(hinted_df)
+    hinted = {tuple(r) for r in hinted_df.collect()}
+
+    monkeypatch.setattr(rq, "FEED_BROADCAST_MAX_SRC_BYTES", 0)
+    df = REGISTRY["q_merge_upsert"].build(spark, sf)
+    # exactly the feed hint on the LEFT (update) join must be gone; the
+    # remaining hints are the scalar shift crossJoins, single-row by
+    # construction and always safe
+    assert hint_count(df) == n_hints_fixture - 1, (
+        df._jdf.queryExecution().analyzed().toString()
+    )
+    unhinted = {tuple(r) for r in df.collect()}
+    assert unhinted == hinted  # guard changes strategy, never semantics

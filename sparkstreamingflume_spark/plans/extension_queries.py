@@ -609,13 +609,25 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF assignment CTE (expects an `e` CTE shaped like _EMB_SQL) — shared
+# by the quantized top-k, cell-gated cosine dedup, and IVF search oracles.
+_IVF_ASSIGN_SQL = f"""
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT b.vec_id, a.vec_id AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, a.vec_id) AS rn
+            FROM e a JOIN e b ON a.vec_id < {N_CENTROIDS}
+        ) t WHERE rn = 1
+    )"""
+
+
 @query(
     "q_embed_quantize_topk",
     f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-        WHERE {_EMB_VALID_SQL}
-    ),
+    WITH e AS ({_EMB_SQL}),
+    {_IVF_ASSIGN_SQL},
     m AS (
         SELECT vec_id, emb,
                greatest(list_max(list_transform(emb, y -> abs(y))), 1e-12) AS ma
@@ -626,10 +638,16 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(emb, x -> floor(x * 127.0 / ma)) AS qv
         FROM m
     ),
+    qc AS (
+        SELECT q.vec_id, q.qv, assign.centroid_id
+        FROM q JOIN assign ON q.vec_id = assign.vec_id
+    ),
     scored AS (
         SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
                CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
-        FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+        FROM qc a JOIN qc b
+          ON a.centroid_id = b.centroid_id
+         AND a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
     )
     SELECT q_id, vec_id, qdot, CAST(rn AS BIGINT) AS rn
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -637,16 +655,22 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored) t
     WHERE rn <= {TOPK}
     """,
-    doc="Int8-quantized similarity top-k — the memory-reduction ANN path: "
-    "each vector is scaled by its own max-abs into [-127, 127] integers "
-    "(symmetric per-vector quantization, 4x smaller than float32; at "
-    "100 TB the quantized corpus is what stays resident while full "
-    "vectors live in cold storage), and ranking uses the integer dot "
-    "product — exact in doubles (<= 127²·64 per pair), so both engines "
-    "agree bit-for-bit with no ppm flooring needed. Same broadcast-"
-    "probes / partitioned-corpus / per-query top-k shape as "
-    "q_embed_topk; tests/test_approx.py pins its recall against the "
-    "float baseline. Extra: how-variant of q_embed_topk.",
+    doc="Int8-quantized IVF top-k — the memory-reduction ANN path, now "
+    "also CANDIDATE-BOUNDED: each vector is scaled by its own max-abs "
+    "into [-127, 127] integers (symmetric per-vector quantization, 4x "
+    "smaller than float32; at 100 TB the quantized corpus is what stays "
+    "resident while full vectors live in cold storage), assigned to its "
+    "nearest IVF centroid on the FLOAT vectors (the same assignment "
+    "q_embed_ivf / q_embed_ivf_search certify, so quantization noise "
+    "cannot move a vector between cells), and each probe scores ONLY "
+    "its own cell — an equi-join on centroid_id, |corpus|/K candidates "
+    "per probe instead of the previous full scan. Ranking uses the "
+    "integer dot product — exact in doubles (<= 127²·64 per pair), so "
+    "both engines agree bit-for-bit with no ppm flooring. "
+    "tests/test_approx.py pins recall against BOTH the float brute-force "
+    "baseline (quantization + cell gating combined) and the unquantized "
+    "IVF path (quantization alone, same candidates). Extra: how-variant "
+    "of q_embed_ivf_search.",
     tags=("similarity",),
     extra=True,
 )
@@ -661,15 +685,20 @@ def q_embed_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("emb", lambda x: F.floor(x * 127.0 / F.col("ma"))).alias("qv"),
     )
-    probes = quant.filter(F.col("vec_id") < N_QUERIES).alias("a")
-    corpus = quant.alias("b")
+    assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
+    qc = quant.join(assign, "vec_id")
+    probes = qc.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    cands = qc.alias("b")
     qdot = F.aggregate(
         F.zip_with("a.qv", "b.qv", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = corpus.join(
-        F.broadcast(probes), F.col("a.vec_id") != F.col("b.vec_id"), "inner"
+    scored = cands.join(
+        F.broadcast(probes),
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        "inner",
     ).select(
         F.col("a.vec_id").alias("q_id"),
         F.col("b.vec_id").alias("vec_id"),
@@ -723,18 +752,6 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-
-
-_IVF_ASSIGN_SQL = f"""
-    assign AS (
-        SELECT vec_id, centroid_id FROM (
-            SELECT b.vec_id, a.vec_id AS centroid_id,
-                   row_number() OVER (
-                       PARTITION BY b.vec_id
-                       ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, a.vec_id) AS rn
-            FROM e a JOIN e b ON a.vec_id < {N_CENTROIDS}
-        ) t WHERE rn = 1
-    )"""
 
 
 @query(

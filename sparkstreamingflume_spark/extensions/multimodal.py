@@ -515,6 +515,12 @@ def byte_histogram_features(payload: bytes, dim: int = 64):
 
     if dim <= 0 or 256 % dim:
         raise ValueError(f"dim must divide 256, got {dim}")
+    # NULL payload (a missing/failed upstream fetch) degrades like the
+    # empty payload instead of raising TypeError inside the task and
+    # failing the whole job on one dirty row — same
+    # dirty-data-must-not-crash posture as the embedding validity gate
+    if payload is None:
+        return 0, 0.0, [0.0] * dim
     a = np.frombuffer(bytes(payload), dtype=np.uint8)
     if a.size == 0:
         return 0, 0.0, [0.0] * dim

@@ -1621,10 +1621,19 @@ _CAND_CTES = f"""
     "emits 5×10⁷ rows, which is why production dedup clusters through "
     "buckets, never pairs. Bucket node ids live above 2^55 so the "
     "component's min label is always the min doc_id (the oracle's "
-    "label); single-doc components (no shared bucket) are filtered to "
-    "match the pair graph's node set. The component IS the dedup unit "
-    "at scale: transitive near-dups collapse together even when "
-    "pairwise LSH missed an edge.",
+    "label); the doc_id < 2^55 precondition is ENFORCED in the edge "
+    "projection (raise_error, fails the job on the first violating "
+    "row), not assumed. Bucket ids are the first 60 bits of "
+    "md5(b:band_hash): by the birthday bound, expect a colliding "
+    "bucket-id PAIR once the distinct-bucket count nears 2^30 (~10^9); "
+    "a corpus with 10^10+ distinct band keys should derive bucket "
+    "nodes from the full 128-bit band_hash via a dense-rank join-back "
+    "instead — a collision spuriously merges two unrelated clusters, "
+    "which the keep-best consumer then over-prunes. Single-doc "
+    "components (no shared bucket) are filtered to match the pair "
+    "graph's node set. The component IS the dedup unit at scale: "
+    "transitive near-dups collapse together even when pairwise LSH "
+    "missed an edge.",
     tags=("dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,9 +1648,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_node = F.lit(1 << 55) + F.conv(
         F.substring(F.md5(F.concat_ws(":", "b", "band_hash")), 1, 15), 16, 10
     ).cast("long")
-    edges = bands.select(
-        F.col("doc_id").alias("doc_a"), bucket_node.alias("doc_b")
+    # enforced precondition (see docstring): a doc_id at or above 2^55
+    # would alias into the bucket-node id space and silently corrupt
+    # components — fail the job instead
+    doc_node = F.when(F.col("doc_id") < (1 << 55), F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.lit("q_dedup_clusters requires doc_id < 2^55 (bucket-node space)")
+        ).cast("long")
     )
+    edges = bands.select(doc_node.alias("doc_a"), bucket_node.alias("doc_b"))
     cc = connected_components_fast(edges)
     docs_cc = cc.filter(F.col("node") < (1 << 55))
     w = Window.partitionBy("cluster_id")

@@ -181,3 +181,83 @@ def test_bucket_ceiling_bounds_hot_pairs(spark, tmp_path, name, n_small, n_big, 
     clusters = REGISTRY["q_dedup_clusters"].build(spark, big).collect()
     mega = [r for r in clusters if r["cluster_id"] == 0]
     assert len(mega) == n_big, "bipartite clustering must keep mega-clusters"
+
+
+def _hot_embedding_corpus(tmp_path, n_dups: int, dim: int = 64) -> str:
+    """embeddings.parquet where vec_ids 0..9 are unique vectors (probe /
+    centroid ids), 10..73 are the corpus rows q_dedup_embed_lsh uses as
+    its 64 hyperplanes, and 1000..1000+n_dups-1 are IDENTICAL copies of
+    one vector — which therefore share all 8 (band, band_sig) buckets,
+    the embedding analog of the identical-text mega-cluster."""
+    import random
+
+    out = tmp_path / f"hotemb{n_dups}"
+    out.mkdir()
+    rng = random.Random(42)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+    ids, vecs = [], []
+    for i in range(74):  # uniques + hyperplane rows
+        ids.append(i)
+        vecs.append(vec())
+    dup = vec()
+    for i in range(n_dups):
+        ids.append(1000 + i)
+        vecs.append(list(dup))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_bucket_ceiling_bounds_embed_lsh_pairs(spark, tmp_path):
+    """BUCKET_CEIL engagement for the SRP-LSH embedding family: 100
+    identical vectors (every shared bucket holds ~100 <= ceiling) emit
+    all C(100,2) cos=1.0 pairs; 200 identical vectors push all 8 of
+    their buckets over the ceiling and emit ZERO pairs from the
+    mega-bucket — with the oracle, ceiling mirrored, still
+    hash-matching on the ceiling-active corpus. The mega-cluster stays
+    recoverable through the UNCAPPED cell-gated path
+    (q_dedup_embed_cosine: identical vectors share a nearest centroid
+    by definition, and its pair join is per-cell, not per-bucket)."""
+    from sparkstreamingflume_spark.plans.extension_queries import BUCKET_CEIL
+
+    assert 100 <= BUCKET_CEIL < 200, "fixture sized around the ceiling"
+    small, big = (
+        _hot_embedding_corpus(tmp_path, 100),
+        _hot_embedding_corpus(tmp_path, 200),
+    )
+
+    def dup_pairs(rows):
+        return [r for r in rows if r[0] >= 1000 and r[1] >= 1000]
+
+    q = REGISTRY["q_dedup_embed_lsh"]
+    small_rows = [tuple(r) for r in q.build(spark, small).collect()]
+    assert len(dup_pairs(small_rows)) == 100 * 99 // 2
+
+    big_df = q.build(spark, big)
+    big_rows = [tuple(r) for r in big_df.collect()]
+    assert len(dup_pairs(big_rows)) == 0  # mega-buckets dropped
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{big}/embeddings.parquet'"
+        )
+        ocols, orows = duck_fetch(con, q.oracle)
+        problems = compare(big_df.columns, big_rows, ocols, orows)
+        assert not problems, problems
+    finally:
+        con.close()
+
+    # safety net: the cell-gated cosine path still yields the mega-cluster
+    cos = REGISTRY["q_dedup_embed_cosine"].build(spark, big)
+    n_dup_cos = len(dup_pairs([tuple(r) for r in cos.collect()]))
+    assert n_dup_cos == 200 * 199 // 2, n_dup_cos

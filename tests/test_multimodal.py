@@ -412,11 +412,17 @@ def test_byte_histogram_features_locality_and_entropy(spark):
     for f in (f_base, f_near, f_const):
         assert abs(math.sqrt(cos(f, f)) - 1.0) < 1e-5
 
+    # NULL payload degrades like the empty payload — one dirty row must
+    # not crash the whole mapInPandas task (dirty-data posture parity
+    # with the embedding validity gate)
+    assert byte_histogram_features(None) == (0, 0.0, [0.0] * 64)
+
     df = spark.createDataFrame(
-        [(1, base), (2, bytes(near)), (3, other), (4, b"")],
+        [(1, base), (2, bytes(near)), (3, other), (4, b""), (5, None)],
         "media_id long, payload binary",
     )
     out = {r["media_id"]: r for r in extract_content_features(df).collect()}
     assert out[1]["n_bytes"] == 2048 and len(out[1]["embedding"]) == 64
     assert cos(out[1]["embedding"], out[2]["embedding"]) > 0.999
     assert out[4]["n_bytes"] == 0 and out[4]["entropy_bits"] == 0.0
+    assert out[5]["n_bytes"] == 0 and out[5]["entropy_bits"] == 0.0

@@ -273,8 +273,14 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         compacted = before.groupBy(*key_cols).agg(
             F.min("batch_id").alias("batch_id")
         )
+        # size the rewrite to the KEY count (~64 B/key -> ~128 MB files)
+        # instead of inheriting shuffle-partition fan-out: a compaction
+        # that leaves one small file per shuffle partition defeats its
+        # own purpose. repartition (not coalesce) keeps the aggregation
+        # parallel and only narrows the final write.
+        target_files = max(1, -(-n_before * 64 // (128 << 20)))
         tmp = f"{index_dir}/.{sub}_compact_tmp"
-        compacted.write.mode("overwrite").parquet(tmp)
+        compacted.repartition(target_files).write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
         fs.rename(jp, jold)
         fs.rename(jvm_path(tmp), jp)

@@ -19,7 +19,12 @@ materialized view via sinks.upsert_rollup, 10 s windows)
 doc stream where ~30%% of rows replay one of the first 50k texts, so the
 persisted content-hash + LSH-band indexes grow over the run and every
 batch probes them — measures sustained filter throughput with a real,
-growing on-disk index, the cost a state metric can't see).
+growing on-disk index, the cost a state metric can't see)
+| neardup_compact (same, plus compact_index runs from the foreachBatch
+thread every COMPACT_EVERY batches — the documented scheduling slot —
+recording per-compaction duration, index file counts before/after, and
+key-row counts, so the small-file knob is measured UNDER load instead of
+only asserted in unit tests).
 Prints one JSON line with batch-duration percentiles, sustained rate,
 and (for stateful modes) state-store rows/bytes (max + last batch).
 """
@@ -47,7 +52,12 @@ def main() -> None:
     # neardup's per-batch floor is parquet index reads + two writes +
     # checkpoint commits (~4.7 s at ANY batch size, measured) — a 10 s
     # trigger amortizes it; throughput is rows/s, not batches/s
-    trigger_s = {"sjoin_inner": 20, "sjoin_outer": 20, "neardup": 10}.get(mode, 2)
+    trigger_s = {
+        "sjoin_inner": 20,
+        "sjoin_outer": 20,
+        "neardup": 10,
+        "neardup_compact": 10,
+    }.get(mode, 2)
 
     from pyspark.sql import functions as F
 
@@ -137,7 +147,7 @@ def main() -> None:
             .start()
         )
         transformed = None
-    elif mode == "neardup":
+    elif mode in ("neardup", "neardup_compact"):
         import tempfile
 
         from sparkstreamingflume_spark.streaming import neardup as ND
@@ -168,13 +178,43 @@ def main() -> None:
             F.col("value").alias("doc_id"),
             F.concat_ws(" ", *toks).alias("text"),
         )
-        q = (
-            ND.attach_incremental_dedup(
-                docs,
-                f"{tmp_sink_dir}/ix",
-                f"{tmp_sink_dir}/out",
-                f"{tmp_sink_dir}/ckpt",
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _index_files() -> int:
+            import glob as _g
+
+            return sum(
+                len(_g.glob(f"{ix_dir}/{sub}/*.parquet"))
+                for sub in ("exact", "bands")
             )
+
+        def _neardup_cb(b, bid):
+            ND.incremental_dedup_batch(
+                b, bid, ix_dir, f"{tmp_sink_dir}/out"
+            )
+            # the docstring's sanctioned slot: between batches, from the
+            # foreachBatch thread itself (no concurrent probe can see
+            # the rename gap)
+            if mode == "neardup_compact" and bid > 0 and bid % compact_every == 0:
+                files_before = _index_files()
+                t0 = time.time()
+                st = ND.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _index_files(),
+                        "rows": {k: list(v) for k, v in st.items()},
+                    }
+                )
+
+        q = (
+            docs.writeStream.foreachBatch(_neardup_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
             .trigger(processingTime=f"{trigger_s} seconds")
             .start()
         )
@@ -287,7 +327,7 @@ def main() -> None:
                     if d.startswith("wstart=")
                 ]
             )
-        elif mode == "neardup":
+        elif mode in ("neardup", "neardup_compact"):
             import duckdb
 
             out["survivor_rows"] = duckdb.sql(
@@ -296,6 +336,9 @@ def main() -> None:
             out["index_sig_rows"] = duckdb.sql(
                 f"SELECT count(*) FROM '{tmp_sink_dir}/ix/exact/*.parquet'"
             ).fetchone()[0]
+            if mode == "neardup_compact":
+                out["index_files_final"] = _index_files()
+                out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))
 

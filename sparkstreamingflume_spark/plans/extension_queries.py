@@ -1360,6 +1360,99 @@ def q_embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2  # multiprobe IVF: each query scans its top-NPROBE cells
+
+
+@query(
+    "q_embed_ivf_multiprobe",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    {_IVF_ASSIGN_SQL},
+    passign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT b.vec_id, a.vec_id AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, a.vec_id) AS rn
+            FROM e a JOIN e b
+              ON a.vec_id < {N_CENTROIDS} AND b.vec_id < {N_QUERIES}
+        ) t WHERE rn <= {NPROBE}
+    ),
+    probes AS (
+        SELECT e.vec_id, e.emb, e.norm, passign.centroid_id
+        FROM e JOIN passign ON e.vec_id = passign.vec_id
+    ),
+    cands AS (
+        SELECT e.vec_id, e.emb, e.norm, assign.centroid_id
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+    )
+    SELECT q_id, vec_id, cos_ppm, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, b.vec_id) AS rn
+        FROM probes a JOIN cands b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    ) t WHERE rn <= {TOPK}
+    """,
+    doc="Multiprobe IVF top-k — the recall lever between single-cell IVF "
+    "(q_embed_ivf_search) and brute force (q_embed_topk): each PROBE "
+    "vector fans out to its top-NPROBE nearest centroids (a second "
+    "rn<=NPROBE window over the same broadcast centroid scores; probe "
+    "set only, so the fan-out frame is NPROBE x N_QUERIES rows), while "
+    "corpus vectors keep their rn=1 cell — candidates are the union of "
+    "the probed cells, NPROBE/K of the corpus instead of 1/K, and since "
+    "corpus cells are disjoint no candidate dedup is needed. This is "
+    "how production IVF turns the recall knob without touching the "
+    "index (nprobe is a query-time parameter); "
+    "tests/test_approx.py asserts multiprobe recall vs the exact "
+    "baseline dominates single-probe recall per query, and that every "
+    "hit lies in one of its probe's NPROBE cells. 100 TB: same "
+    "bucketed-by-centroid layout as q_embed_ivf_search — a probe "
+    "touches NPROBE partitions. Extra: recall-variant of "
+    "q_embed_ivf_search; certified by the pytest oracle gate.",
+    tags=("similarity",),
+    extra=True,
+)
+def q_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).alias("a")
+    pvecs = e.filter(F.col("vec_id") < N_QUERIES).alias("b")
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("centroid_id")
+    )
+    passign = (
+        pvecs.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("centroid_id"),
+            _cos_ppm().cast("long").alias("cos_ppm"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("vec_id", "centroid_id")
+    )
+    assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
+    probes = e.join(passign, "vec_id").alias("a")
+    cands = e.join(assign, "vec_id").alias("b")
+    scored = cands.join(
+        F.broadcast(probes),
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        "inner",
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("vec_id"),
+        _cos_ppm().cast("long").alias("cos_ppm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_ppm").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+    )
+
+
 @query(
     "q_dedup_candidates_verified",
     f"""

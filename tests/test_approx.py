@@ -160,6 +160,79 @@ def test_quantized_ivf_topk_recall_and_cell_gating(spark):
             assert cell[v] == cell[q_id], (q_id, v, cell[q_id], cell[v])
 
 
+def test_multiprobe_ivf_recall_dominates_single_probe(spark):
+    """nprobe=2 scans a strict superset of nprobe=1's candidates (the
+    top-1 cell is in the top-2), so per-query recall vs the exact
+    baseline must dominate single-probe recall — that is THE reason the
+    knob exists. Also asserted: every multiprobe hit lies in one of its
+    probe's NPROBE nearest cells (candidate bounding holds)."""
+    from collections import defaultdict
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        N_CENTROIDS,
+        NPROBE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def topsets(name):
+        d = defaultdict(set)
+        for r in REGISTRY[name].build(spark, sf).collect():
+            d[r.q_id].add(r.vec_id)
+        return d
+
+    exact = topsets("q_embed_topk")
+    single = topsets("q_embed_ivf_search")
+    multi = topsets("q_embed_ivf_multiprobe")
+    assert set(multi) == set(exact)
+
+    for q in exact:
+        r_single = len(single[q] & exact[q]) / len(exact[q])
+        r_multi = len(multi[q] & exact[q]) / len(exact[q])
+        assert r_multi >= r_single, (q, r_multi, r_single)
+    mean_multi = sum(len(multi[q] & exact[q]) / len(exact[q]) for q in exact) / len(exact)
+    mean_single = sum(len(single[q] & exact[q]) / len(exact[q]) for q in exact) / len(exact)
+    assert mean_multi > mean_single, (mean_multi, mean_single)
+
+    # candidate bounding: every hit's corpus cell must be one of the
+    # probe's NPROBE nearest cells, recomputed independently in pure
+    # Python from the raw vectors (same ppm flooring + id tie-break)
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    vecs = {
+        i: [float(x) for x in v]
+        for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+        if v is not None and all(x is not None for x in v)
+    }
+
+    def cos_ppm(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u))
+        nv = math.sqrt(sum(b * b for b in v))
+        return math.floor(dot * 1_000_000.0 / (nu * nv))
+
+    cell = {
+        r.vec_id: r.centroid_id
+        for r in REGISTRY["q_embed_ivf"].build(spark, sf).collect()
+    }
+    for q_id, hits in multi.items():
+        scores = sorted(
+            (
+                (cos_ppm(vecs[q_id], vecs[c]), -c)
+                for c in range(N_CENTROIDS)
+                if c in vecs
+            ),
+            reverse=True,
+        )
+        allowed = {-negc for _, negc in scores[:NPROBE]}
+        for v in hits:
+            assert cell[v] in allowed, (q_id, v, cell[v], allowed)
+
+
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The as-of must be the union-merge form: no join operator at all,
     one window over one hash exchange on user_id."""

@@ -42,6 +42,11 @@ EXTRA_QUERIES = (
     "q_lm_score",
     "q_merge_upsert",
     "q_dedup_simhash_wide",
+    # round-7: plan changed (BUCKET_CEIL on the simhash pair family) or
+    # new (multiprobe IVF) — the ceiling queries are exactly where a
+    # band-bucket blowup would show as a superlinear ratio
+    "q_dedup_simhash_pairs",
+    "q_embed_ivf_multiprobe",
 )
 
 

@@ -1453,6 +1453,149 @@ def q_embed_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 2  # Lloyd refinement steps over the seeded centroids
+
+# Integer-ppm k-means CTE pieces (shared structure, unrolled per
+# iteration in the oracle): dist² between two ppm vectors via the
+# expansion v·v - 2 v·c + c·c — every dot is <= 64 · (1.06e6)² ≈ 7e13,
+# exact in BIGINT and in the DOUBLE that DuckDB's list_dot_product
+# returns, so both engines agree bit-for-bit.
+_KM_E_SQL = f"""
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        FROM embeddings WHERE {_EMB_VALID_SQL}
+"""
+
+
+def _km_assign_sql(cents: str, out: str) -> str:
+    return f"""
+    {out}_d AS (
+        SELECT e.vec_id, {cents}.centroid_id,
+               CAST(list_dot_product(e.v, e.v)
+                    - 2 * list_dot_product(e.v, {cents}.cv)
+                    + list_dot_product({cents}.cv, {cents}.cv) AS BIGINT)
+                   AS dist2
+        FROM e, {cents}
+    ),
+    {out} AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, centroid_id) AS rn
+            FROM {out}_d
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign: str, out: str) -> str:
+    return f"""
+    {out}_m AS (
+        SELECT {assign}.centroid_id, dims.dim,
+               CAST(floor(CAST(sum(e.v[dim]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS mv
+        FROM e JOIN {assign} USING (vec_id), dims
+        GROUP BY {assign}.centroid_id, dims.dim
+    ),
+    {out} AS (
+        SELECT centroid_id, list(mv ORDER BY dim) AS cv
+        FROM {out}_m GROUP BY centroid_id
+    )"""
+
+
+@query(
+    "q_kmeans_assign",
+    f"""
+    WITH e AS ({_KM_E_SQL}),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+           WHERE vec_id < {N_CENTROIDS}),
+    dims AS (SELECT unnest(generate_series(
+                 1, (SELECT max(len(v)) FROM e))) AS dim),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_update_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')}
+    SELECT vec_id, centroid_id FROM a2
+    """,
+    doc="K-means centroid refinement (2 unrolled Lloyd iterations) — "
+    "trains the IVF cells the similarity family assumes instead of "
+    "taking the first-K seed vectors as final: vectors are quantized "
+    "ONCE to integer ppm (floor(x*1e6) per component) so every later "
+    "sum, mean-floor, and squared-distance is exact integer arithmetic "
+    "— the cross-engine determinism trick the repo uses everywhere, "
+    "here applied to an iterative algorithm where float drift would "
+    "COMPOUND per iteration. Per iteration: assignment is a broadcast "
+    "cross-join against K centroid rows + one per-vector argmin window "
+    "(linear, K-bounded); the update is a posexplode to (vec, dim) "
+    "rows and ONE map-side-combinable sum/count over K*dim groups (512 "
+    "rows), reassembled into centroid arrays driver-free via "
+    "array_sort(collect_list(struct(dim, mean))). An emptied cluster "
+    "simply drops out of the next assignment (mirrored in both "
+    "engines). Lloyd's monotonicity (inertia never increases) is "
+    "pinned by tests/test_approx.py in pure Python. 100 TB: the only "
+    "per-corpus-size stages are one broadcast-join scan and one "
+    "combinable aggregate per iteration — the classic scalable k-means "
+    "shape; centroid state is K x dim integers, never on the driver. "
+    "Extra: refinement stage upstream of q_embed_ivf*; certified by "
+    "the pytest oracle gate.",
+    tags=("similarity", "iterative"),
+    extra=True,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_valid(_embs(spark, sf_dir)).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1_000_000.0)
+        ).alias("v"),
+    )
+
+    def dist2() -> F.Column:
+        return F.aggregate(
+            F.zip_with("e.v", "c.cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        d = vecs.alias("e").crossJoin(F.broadcast(cents.alias("c"))).select(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("c.centroid_id").alias("centroid_id"),
+            dist2().alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id")
+        )
+
+    def update(vecs: DataFrame, assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            vecs.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*")
+                ).alias("mv")
+            )
+        )
+        return per_dim.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("cv")
+        )
+
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = assign(e, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = update(e, assigned)
+        assigned = assign(e, cents)
+    return assigned
+
+
 @query(
     "q_dedup_candidates_verified",
     f"""

@@ -233,6 +233,63 @@ def test_multiprobe_ivf_recall_dominates_single_probe(spark):
             assert cell[v] in allowed, (q_id, v, cell[v], allowed)
 
 
+def test_kmeans_lloyd_monotone_and_pinned(spark):
+    """The 2-iteration integer-ppm Lloyd refinement is re-derived in
+    pure Python (a second, dialect-free oracle — the same drift-proof
+    pin the repo keeps for h32/shingles/MinHash) and must match the
+    Spark assignment row-for-row; and Lloyd's defining property holds:
+    inertia after (update, reassign) does not exceed the seeded
+    assignment's inertia. Floored integer means perturb the true mean
+    by < 1 ppm unit per dimension, far below the fixture's inertia
+    drop, so the monotonicity check is stable."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import N_CENTROIDS
+
+    sf = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    vecs = {}
+    for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()):
+        if v is not None and all(x is not None for x in v):
+            vecs[i] = [math.floor(float(x) * 1_000_000.0) for x in v]
+
+    def d2(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    def assign(cents):
+        out, inertia = {}, 0
+        for i, v in vecs.items():
+            best = min((d2(v, cv), cid) for cid, cv in cents.items())
+            out[i] = best[1]
+            inertia += best[0]
+        return out, inertia
+
+    c0 = {i: vecs[i] for i in vecs if i < N_CENTROIDS}
+    a1, inertia1 = assign(c0)
+    clusters = {}
+    for i, cid in a1.items():
+        clusters.setdefault(cid, []).append(vecs[i])
+    c1 = {
+        cid: [
+            math.floor(sum(col) / len(members))
+            for col in zip(*members)
+        ]
+        for cid, members in clusters.items()
+    }
+    a2, inertia2 = assign(c1)
+
+    assert inertia2 <= inertia1, (inertia2, inertia1)
+
+    spark_assign = {
+        r.vec_id: r.centroid_id
+        for r in REGISTRY["q_kmeans_assign"].build(spark, sf).collect()
+    }
+    assert spark_assign == a2
+
+
 def test_asof_join_plan_is_single_window_no_join(spark):
     """The as-of must be the union-merge form: no join operator at all,
     one window over one hash exchange on user_id."""

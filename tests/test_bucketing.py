@@ -72,6 +72,66 @@ def test_bucketed_join_results_match_unbucketed(spark, warehouse):
     assert bucketed == plain
 
 
+def test_centroid_bucketed_cell_join_is_shuffle_free(spark, tmp_path_factory):
+    """q_dedup_embed_cosine's docstring claims the 100 TB layout buckets
+    the corpus by centroid_id so each cell's pair join is
+    partition-local — demonstrate it: with the (vector, centroid)
+    frame written bucketed on centroid_id, the within-cell self-join
+    (the query's own shape) plans with ZERO exchanges feeding the join,
+    and produces exactly the rows the registry query produces."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        _cos_ppm,
+        _emb_norm,
+        q_embed_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wh = tmp_path_factory.mktemp("cells_wh")
+    e = _emb_norm(spark, sf)
+    assign = q_embed_ivf(spark, sf).select("vec_id", "centroid_id")
+    (
+        e.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .bucketBy(8, "centroid_id")
+        .sortBy("centroid_id")
+        .option("path", str(wh / "cells"))
+        .saveAsTable("b_cells")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cells = spark.table("b_cells")
+        a, b = cells.alias("a"), cells.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                _cos_ppm().cast("long").alias("cos_ppm"),
+            )
+            .filter(F.col("cos_ppm") >= 350_000)
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert plan.count("Exchange") == 0, f"cell join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan
+
+        got = sorted(tuple(r) for r in pairs.collect())
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["q_dedup_embed_cosine"].build(spark, sf).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cells")
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     """Date-partitioned layout (the K7/P13 sink shape) must turn a date
     filter into PARTITION pruning on read: the scan lists only matching

@@ -47,6 +47,7 @@ EXTRA_QUERIES = (
     # band-bucket blowup would show as a superlinear ratio
     "q_dedup_simhash_pairs",
     "q_embed_ivf_multiprobe",
+    "q_kmeans_assign",
 )
 
 

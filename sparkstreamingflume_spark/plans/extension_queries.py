@@ -1597,6 +1597,81 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_ivf_refined",
+    f"""
+    WITH f AS ({_EMB_SQL}),
+    e AS (
+        SELECT vec_id,
+               list_transform(emb,
+                              x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        FROM f
+    ),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+           WHERE vec_id < {N_CENTROIDS}),
+    dims AS (SELECT unnest(generate_series(
+                 1, (SELECT max(len(v)) FROM e))) AS dim),
+    {_km_assign_sql('c0', 'a1')},
+    {_km_update_sql('a1', 'c1')},
+    {_km_assign_sql('c1', 'a2')},
+    probes AS (
+        SELECT f.vec_id, f.emb, f.norm, a2.centroid_id
+        FROM f JOIN a2 USING (vec_id) WHERE f.vec_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT f.vec_id, f.emb, f.norm, a2.centroid_id
+        FROM f JOIN a2 USING (vec_id)
+    )
+    SELECT q_id, vec_id, cos_ppm, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, b.vec_id) AS rn
+        FROM probes a JOIN cands b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    ) t WHERE rn <= {TOPK}
+    """,
+    doc="IVF search over k-means-REFINED cells — the trainable "
+    "end-to-end form of the ANN family: q_kmeans_assign's 2-iteration "
+    "Lloyd refinement replaces the seed-vector cells q_embed_ivf_search "
+    "probes, then the identical cell-gated scoring runs (float cosine "
+    "on the probe's own refined cell, |corpus|/K candidates). Refined "
+    "cells track the data's actual density, so at equal probe cost "
+    "recall tends to improve over seeded cells — "
+    "tests/test_approx.py records the measured comparison rather than "
+    "assuming it (near-random fixture vectors make the gap small). "
+    "100 TB: the refinement is one broadcast scan + one combinable "
+    "aggregate per iteration, the search identical to "
+    "q_embed_ivf_search — the training step adds NO new shuffle shape. "
+    "Extra: composition of q_kmeans_assign and q_embed_ivf_search; "
+    "certified by the pytest oracle gate.",
+    tags=("similarity", "iterative"),
+    extra=True,
+)
+def q_embed_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    assign = q_kmeans_assign(spark, sf_dir)
+    full = e.join(assign, "vec_id")
+    probes = full.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    cands = full.alias("b")
+    scored = cands.join(
+        F.broadcast(probes),
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        "inner",
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("vec_id"),
+        _cos_ppm().cast("long").alias("cos_ppm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_ppm").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOPK)
+    )
+
+
+@query(
     "q_dedup_candidates_verified",
     f"""
     WITH sh0 AS (

@@ -754,14 +754,74 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ppm-quantized vector signature — the embedding analog of md5(text):
+# identical (to 1e-6 per component) vectors share a signature, so
+# exact-duplicate mass can be collapsed/grouped WITHOUT pair
+# enumeration, mirroring the text family's q_dedup_exact.
+_VEC_SIG_SQL = (
+    "md5(array_to_string(list_transform(emb, "
+    "x -> CAST(CAST(floor(x * 1000000.0) AS BIGINT) AS VARCHAR)), ','))"
+)
+
+
+def _vec_sig() -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform("emb", lambda x: F.floor(x * 1_000_000.0).cast("string")),
+        )
+    )
+
+
+@query(
+    "q_dedup_embed_exact",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    sigs AS (SELECT vec_id, {_VEC_SIG_SQL} AS vsig FROM e)
+    SELECT vsig, CAST(min(vec_id) AS BIGINT) AS keeper_vec_id,
+           count(*) AS n_copies
+    FROM sigs GROUP BY vsig
+    """,
+    doc="Exact-duplicate embedding groups — the embedding analog of "
+    "q_dedup_exact: vectors quantized to integer ppm per component are "
+    "md5-fingerprinted, and one combinable groupBy yields each distinct "
+    "vector VALUE's keeper (min vec_id) and copy count. This is the "
+    "mass-duplication catcher for the embedding family: a 10k-copy "
+    "vector is ONE group here (no joins, no pairs), which is why "
+    "q_dedup_embed_cosine can pair over distinct values only. Extra: "
+    "certified by the pytest oracle gate; engagement fixture in "
+    "tests/test_dedup_skew.py.",
+    tags=("dedup", "similarity"),
+    extra=True,
+)
+def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_norm(spark, sf_dir)
+    return (
+        e.select("vec_id", _vec_sig().alias("vsig"))
+        .groupBy("vsig")
+        .agg(
+            F.min("vec_id").cast("long").alias("keeper_vec_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
 @query(
     "q_dedup_embed_cosine",
     f"""
     WITH e AS ({_EMB_SQL}),
     {_IVF_ASSIGN_SQL},
+    reps AS (
+        SELECT vec_id, emb, norm FROM (
+            SELECT vec_id, emb, norm,
+                   row_number() OVER (PARTITION BY {_VEC_SIG_SQL}
+                                      ORDER BY vec_id) AS rn
+            FROM e
+        ) WHERE rn = 1
+    ),
     cells AS (
-        SELECT e.vec_id, e.emb, e.norm, assign.centroid_id
-        FROM e JOIN assign ON e.vec_id = assign.vec_id
+        SELECT r.vec_id, r.emb, r.norm, assign.centroid_id
+        FROM reps r JOIN assign ON r.vec_id = assign.vec_id
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST({_COS_PPM} AS BIGINT) AS cos_ppm
@@ -770,21 +830,34 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_COS_PPM} >= 350000
     """,
     doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale path): "
-    "vectors are assigned to their nearest centroid (q_embed_ivf), and "
-    "pairs are generated ONLY within a cell — an equi-join on "
-    "centroid_id, |corpus|²/K comparisons instead of the |corpus|² "
-    "all-pairs inequality join (which Spark must execute as a "
-    "nested-loop; plan-asserted hash-join-only by "
-    "tests/test_contract.py). Near-dup recall vs the exact all-pairs "
-    "form (kept as extra q_dedup_embed_cosine_bruteforce) is pinned by "
-    "tests/test_approx.py; at 100 TB the corpus is bucketed by "
-    "centroid_id so each cell's pairs are partition-local.",
+    "exact-duplicate vector VALUES are first collapsed to their min-id "
+    "representative (the ppm-signature window; copy-sets stay fully "
+    "recoverable via q_dedup_embed_exact — the same exact-first-then-"
+    "near production order as the text family), then representatives "
+    "are assigned to their nearest centroid (q_embed_ivf) and pairs are "
+    "generated ONLY within a cell — an equi-join on centroid_id, "
+    "|distinct|²/K comparisons instead of the |corpus|² all-pairs "
+    "inequality join (which Spark must execute as a nested-loop; "
+    "plan-asserted hash-join-only by tests/test_contract.py). The "
+    "collapse is what bounds a mass-duplicated vector: 10k copies land "
+    "in ONE cell and would make it quadratic; as one representative "
+    "they cost one row (hot-vector fixture in tests/test_dedup_skew.py)."
+    " Near-dup recall vs the exact all-pairs form (kept as extra "
+    "q_dedup_embed_cosine_bruteforce) is pinned by tests/test_approx.py;"
+    " at 100 TB the corpus is bucketed by centroid_id so each cell's "
+    "pairs are partition-local.",
     tags=("dedup", "similarity"),
 )
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_norm(spark, sf_dir)
+    vw = Window.partitionBy(_vec_sig()).orderBy("vec_id")
+    reps = (
+        e.withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
-    cells = e.join(assign, "vec_id")
+    cells = reps.join(assign, "vec_id")
     a, b = cells.alias("a"), cells.alias("b")
     return (
         a.join(

@@ -224,9 +224,11 @@ def test_bucket_ceiling_bounds_embed_lsh_pairs(spark, tmp_path):
     their buckets over the ceiling and emit ZERO pairs from the
     mega-bucket — with the oracle, ceiling mirrored, still
     hash-matching on the ceiling-active corpus. The mega-cluster stays
-    recoverable through the UNCAPPED cell-gated path
-    (q_dedup_embed_cosine: identical vectors share a nearest centroid
-    by definition, and its pair join is per-cell, not per-bucket)."""
+    recoverable exactly as in the text family: q_dedup_embed_exact
+    groups the identical vectors (one combinable agg, no pairs), and
+    q_dedup_embed_cosine — which collapses exact-duplicate values to
+    one representative BEFORE cell pairing — emits zero intra-mass
+    pairs instead of C(200,2) from one hot cell."""
     from sparkstreamingflume_spark.plans.extension_queries import BUCKET_CEIL
 
     assert 100 <= BUCKET_CEIL < 200, "fixture sized around the ceiling"
@@ -257,7 +259,12 @@ def test_bucket_ceiling_bounds_embed_lsh_pairs(spark, tmp_path):
     finally:
         con.close()
 
-    # safety net: the cell-gated cosine path still yields the mega-cluster
+    # safety net, text-family order: exact-vector grouping captures the
+    # mass without pairs, and the cell-gated cosine path collapses the
+    # copy-set to one representative instead of pairing a hot cell
+    exact = REGISTRY["q_dedup_embed_exact"].build(spark, big).collect()
+    mega = [r for r in exact if r["n_copies"] >= 200]
+    assert len(mega) == 1 and mega[0]["keeper_vec_id"] == 1000
     cos = REGISTRY["q_dedup_embed_cosine"].build(spark, big)
     n_dup_cos = len(dup_pairs([tuple(r) for r in cos.collect()]))
-    assert n_dup_cos == 200 * 199 // 2, n_dup_cos
+    assert n_dup_cos == 0, n_dup_cos

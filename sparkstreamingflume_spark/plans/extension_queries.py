@@ -286,6 +286,173 @@ def q_dedup_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keeper-occurrence encoding for the block scrub: one bigint per block
+# occurrence, doc_id * _OCC_STRIDE + block_index. Preconditions (checked
+# nowhere at runtime — they are id-space contracts like q_dedup_clusters'
+# doc_id < 2^55): block_index < _OCC_STRIDE (a doc would need 16M tokens
+# to break it) and doc_id < 2^63 / _OCC_STRIDE ≈ 9.2e12.
+_OCC_STRIDE = 1_000_000
+
+
+@query(
+    "q_dedup_block_scrub",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE text IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id, {_TOK} AS arr,
+               len({_TOK}) AS n_tokens,
+               len({_TOK}) // {BLOCK_TOKENS} AS nblk
+        FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id,
+               unnest(generate_series(1, nblk)) - 1 AS i0,
+               unnest(list_transform(
+                   generate_series(1, nblk),
+                   i -> array_to_string(
+                       arr[(i - 1) * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}],
+                       ' '))) AS blk
+        FROM base
+    ),
+    dup AS (
+        SELECT md5(blk) AS h,
+               min(doc_id * {_OCC_STRIDE} + i0) AS keeper_key
+        FROM hashed GROUP BY md5(blk) HAVING count(*) > 1
+    ),
+    kept AS (
+        SELECT hb.doc_id, hb.i0, hb.blk
+        FROM hashed hb LEFT JOIN dup ON md5(hb.blk) = dup.h
+        WHERE dup.h IS NULL
+           OR hb.doc_id * {_OCC_STRIDE} + hb.i0 = dup.keeper_key
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(blk, ' ' ORDER BY i0) AS blocks_str,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           concat_ws(' ',
+               nullif(r.blocks_str, ''),
+               nullif(array_to_string(
+                   arr[b.nblk * {BLOCK_TOKENS} + 1 : b.n_tokens], ' '), '')
+           ) AS clean_text,
+           CAST(b.nblk AS BIGINT) AS n_blocks,
+           CAST(b.nblk - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(floor((b.nblk - coalesce(r.n_kept, 0)) * {BLOCK_TOKENS}
+                      * 1000000.0 / b.n_tokens) AS BIGINT) AS removed_ppm
+    FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """,
+    doc="Exact-substring corpus REWRITE — the scrub half of block dedup "
+    "(Lee et al. 2021's 'remove all but one occurrence of every "
+    "duplicated substring', block-granular): q_dedup_block detects "
+    "duplicated 16-token blocks; this query removes every occurrence "
+    "except the first (min (doc_id, block_index), encoded as one bigint "
+    "occurrence key) and reconstructs each document's cleaned text in "
+    "block order with the sub-block tail preserved, reporting per-doc "
+    "removed-block counts and removed-token ppm. NULL-text docs are "
+    "excluded on both engines (unknown content cannot be scrubbed). The "
+    "doubled corpus means every twin doc scrubs down to its tail while "
+    "originals keep their keeper occurrences — plus genuine cross-doc "
+    "repeats scrub inside originals. 100 TB shape: one explode + one "
+    "map-side-combinable agg (count + min on a 32-char key) for "
+    "detection; the dup side is HAVING-filtered to one row per "
+    "duplicated hash, so the join back is broadcast-sized unless "
+    "duplication is rampant (AQE decides — and when it broadcasts, a "
+    "hot block hash cannot hot-spot a shuffle partition); the rebuild "
+    "groupBy moves the corpus through one doc_id shuffle — inherent to "
+    "any rewrite — with per-doc sort memory bounded by the doc itself. "
+    "Extends reference P10 (src/MD5.java:24-33) content hashing. "
+    "Extra: a rewrite composition of q_dedup_block, certified by the "
+    "pytest oracle gate.",
+    tags=("dedup", "pipeline"),
+    extra=True,
+)
+def q_dedup_block_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    arr = tokens("text")
+    base = corpus.select(
+        "doc_id",
+        arr.alias("arr"),
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.floor(F.size(arr) / BLOCK_TOKENS).cast("int").alias("nblk"),
+    )
+    block_list = F.when(
+        F.col("nblk") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("nblk")),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice("arr", (i - 1) * BLOCK_TOKENS + 1, F.lit(BLOCK_TOKENS)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        base.select("doc_id", F.posexplode(block_list).alias("pos", "blk"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("i0"),
+            "blk",
+            F.md5("blk").alias("h"),
+        )
+        .withColumn("occ_key", F.col("doc_id") * _OCC_STRIDE + F.col("i0"))
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("n_occ"), F.min("occ_key").alias("keeper_key"))
+        .filter(F.col("n_occ") > 1)
+        .select("h", "keeper_key")
+    )
+    kept = hashed.join(dup, "h", "left").filter(
+        F.col("keeper_key").isNull() | (F.col("occ_key") == F.col("keeper_key"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i0", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("blocks_str"),
+        F.count("*").alias("n_kept"),
+    )
+    tail_len = (F.col("n_tokens") - F.col("nblk").cast("long") * BLOCK_TOKENS).cast(
+        "int"
+    )
+    tail = F.when(
+        tail_len > 0,
+        F.concat_ws(
+            " ", F.slice("arr", F.col("nblk") * BLOCK_TOKENS + 1, tail_len)
+        ),
+    )
+    n_removed = F.col("nblk").cast("long") - F.coalesce(
+        F.col("n_kept"), F.lit(0).cast("long")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.nullif(F.col("blocks_str"), F.lit("")), F.nullif(tail, F.lit(""))
+        ).alias("clean_text"),
+        F.col("nblk").cast("long").alias("n_blocks"),
+        n_removed.alias("n_removed"),
+        F.floor(n_removed * BLOCK_TOKENS * 1_000_000.0 / F.col("n_tokens"))
+        .cast("long")
+        .alias("removed_ppm"),
+    )
+
+
 @query(
     "q_dedup_ngram_jaccard",
     f"""

@@ -50,6 +50,9 @@ EXTRA_QUERIES = (
     "q_kmeans_assign",
     "q_embed_ivf_refined",
     "q_dedup_embed_cosine",
+    # late round-7: the corpus rewrite — the only plan that shuffles the
+    # FULL corpus text through a doc_id groupBy (2.7x on first measure)
+    "q_dedup_block_scrub",
 )
 
 

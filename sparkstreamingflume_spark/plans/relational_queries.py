@@ -458,6 +458,91 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_history",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    regimes AS (
+        SELECT user_id, ts, event_type,
+               sum(changed) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS regime_no
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, regime_no,
+               min(event_type) AS event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               epoch_us(min(ts)) AS valid_from_us
+        FROM regimes GROUP BY user_id, regime_no
+    )
+    SELECT user_id,
+           CAST(regime_no AS BIGINT) AS regime_no,
+           event_type,
+           n_events,
+           valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY regime_no) AS valid_to_us
+    FROM intervals
+    """,
+    doc="SCD2 / temporal-dimension history build (the warehouse 'type-2 "
+    "slowly changing dimension' op): per user, consecutive events with "
+    "the same event_type collapse into one validity regime "
+    "[valid_from_us, valid_to_us) — change detection via null-safe lag "
+    "compare (IS DISTINCT FROM / eqNullSafe, so a NULL type forms its "
+    "own regime instead of three-valued-logic leaking rows), island ids "
+    "via the running sum of change flags, and the interval close via "
+    "lead over the per-regime frame (open current regime => NULL "
+    "valid_to_us). 100 TB shape: ONE exchange for the entire plan — "
+    "the lag and cumulative-sum windows share a (user_id) hash "
+    "partitioning and one sort, and the regime SortAggregate plus the "
+    "interval-close lead window both INHERIT that partitioning "
+    "(user_id prefixes their keys), so the close window also runs over "
+    "the aggregated regimes frame (rows = regime count << event count) "
+    "without reshuffling. min(event_type) is exact, "
+    "not a choice: the type is constant within a regime by "
+    "construction. Extends the reference's per-key stateful rollup "
+    "intent (src/StreamingSocketProcess.scala:112-140) to dimension "
+    "history. Extra: islands-by-value-change sibling of q_sessionize "
+    "(islands-by-time-gap), certified by the pytest oracle gate.",
+    tags=("relational", "window"),
+    extra=True,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+    ).otherwise(1)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    regimes = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(changed).over(cum).alias("regime_no"),
+    )
+    intervals = regimes.groupBy("user_id", "regime_no").agg(
+        F.min("event_type").alias("event_type"),
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+    )
+    close_w = Window.partitionBy("user_id").orderBy("regime_no")
+    return intervals.select(
+        "user_id",
+        F.col("regime_no").cast("long").alias("regime_no"),
+        "event_type",
+        "n_events",
+        "valid_from_us",
+        F.lead("valid_from_us").over(close_w).alias("valid_to_us"),
+    )
+
+
+@query(
     "q_pivot",
     """
     SELECT strftime(ts, '%Y%m%d') AS dt,

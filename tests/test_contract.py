@@ -443,3 +443,20 @@ def test_merge_upsert_broadcast_is_size_guarded(spark, monkeypatch):
     )
     unhinted = {tuple(r) for r in df.collect()}
     assert unhinted == hinted  # guard changes strategy, never semantics
+
+
+def test_scd2_history_runs_on_one_exchange(spark):
+    """q_scd2_history's scale contract: the lag window, the cumulative
+    change-flag sum, the per-regime aggregate AND the interval-close
+    lead window must all run on the ONE user_id hash partitioning —
+    exactly one Exchange in the whole plan. A second exchange here
+    means a Catalyst regression re-shuffling the aggregated regimes
+    frame (or worse, the raw events) and the 100 TB claim in the
+    docstring is void."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    df = REGISTRY["q_scd2_history"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
+    assert plan.count("Window") >= 3  # lag, cumsum, interval-close lead

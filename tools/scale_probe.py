@@ -53,6 +53,7 @@ EXTRA_QUERIES = (
     # late round-7: the corpus rewrite — the only plan that shuffles the
     # FULL corpus text through a doc_id groupBy (2.7x on first measure)
     "q_dedup_block_scrub",
+    "q_scd2_history",
 )
 
 

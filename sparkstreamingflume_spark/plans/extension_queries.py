@@ -543,6 +543,130 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PF_JACCARD_MIN_PPM = 500_000  # prefix filter pays at HIGH thresholds
+
+
+@query(
+    "q_dedup_prefix_filter",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {h32_sql('s')} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM corpus)
+    ),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(n_common * 1000000.0
+                      / (ca.n_sh + cb.n_sh - n_common)) AS BIGINT)
+               AS jaccard_ppm
+    FROM common
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE n_common * 1000000.0 / (ca.n_sh + cb.n_sh - n_common)
+          >= {PF_JACCARD_MIN_PPM}
+    """,
+    doc="EXACT high-threshold similarity self-join via PREFIX FILTERING "
+    "(AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the "
+    "third candidate-generation strategy next to the DF_CEIL inverted "
+    "index (recall-trading under boilerplate) and the LSH band families "
+    "(probabilistic): order every doc's shingle hashes by ascending "
+    "document frequency (rarest first, ties by hash — one global total "
+    "order both engines reproduce) and keep only the PREFIX of length "
+    "n_sh - ceil(t*n_sh) + 1; two docs with Jaccard >= t MUST share a "
+    "prefix shingle under that total order, so the candidate self-join "
+    "runs on prefix postings only — at t=0.5 half the postings, at "
+    "t=0.9 a tenth — and candidates are then verified EXACTLY against "
+    "the full per-doc hash sets (array_intersect on sorted collected "
+    "sets, JVM-side). LOSSLESS by the prefix-filter theorem, and "
+    "certified so: the oracle is the PLAIN exact all-postings join "
+    "with no prefix anywhere, so the cross-engine hash match proves "
+    "the filter dropped no qualifying pair. 100 TB shape: rare-first "
+    "ordering sinks boilerplate (high-df) shingles to the END of every "
+    "doc's order, so stop-shingles never enter a prefix unless a doc "
+    "is mostly boilerplate; worst case is OUTPUT-bound (an all-"
+    "identical corpus has quadratic true output at t>=0.5 — no "
+    "lossless method avoids that; mass duplication remains the capped "
+    "LSH family + q_dedup_clusters' job per the BUCKET_CEIL contract). "
+    "The verify join carries per-doc hash arrays — memory per row is "
+    "one doc's shingle set, an input-split-sized bound. Corpus doubled "
+    "(as in q_dedup_exact) so the fixture has guaranteed J=1.0 twin "
+    "pairs above the 0.5 threshold. Extra: exact sibling of "
+    "q_dedup_ngram_jaccard at high threshold, certified by the pytest "
+    "oracle gate; losslessness also pinned vs pure-Python brute force "
+    "in tests/test_prefix_filter.py.",
+    tags=("dedup",),
+    extra=True,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    sh = (
+        corpus.select(
+            "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
+        )
+        .select("doc_id", h32(F.col("s")).alias("h"))
+        .distinct()
+    )
+    # Global rare-first total order: (df, h). Both window functions over
+    # doc_id share one partitioning; df comes from a window over h.
+    df_w = Window.partitionBy("h")
+    doc_w = Window.partitionBy("doc_id").orderBy("df_", "h")
+    ranked = sh.withColumn("df_", F.count("*").over(df_w)).select(
+        "doc_id",
+        "h",
+        F.row_number().over(doc_w).alias("rk"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    # prefix length = n_sh - ceil(t * n_sh) + 1, exact integer arithmetic
+    ceil_t = (F.col("n_sh") * PF_JACCARD_MIN_PPM + 999_999).cast("long") / F.lit(
+        1_000_000
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.floor(ceil_t) + 1
+    ).select("doc_id", "h")
+    pa_, pb_ = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa_.join(pb_, (F.col("pa.h") == F.col("pb.h")))
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n_sh"),
+    )
+    aa, ab = arrs.alias("aa"), arrs.alias("ab")
+    verified = (
+        cand.join(aa, F.col("aa.doc_id") == F.col("doc_a"))
+        .join(ab, F.col("ab.doc_id") == F.col("doc_b"))
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("aa.hs"), F.col("ab.hs"))).cast(
+                "long"
+            ),
+        )
+    )
+    jac = F.col("n_common") * 1_000_000.0 / (
+        F.col("aa.n_sh") + F.col("ab.n_sh") - F.col("n_common")
+    )
+    return verified.filter(jac >= PF_JACCARD_MIN_PPM).select(
+        "doc_a", "doc_b", F.floor(jac).cast("long").alias("jaccard_ppm")
+    )
+
+
 # The affine permutation family (_MH_AC / _MH_P, imported above) is fixed
 # and shared with the oracle: the SQL columns below must emit the exact
 # same signatures as functions.text.minhash_bands.

@@ -113,3 +113,136 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: incremental dimension-history (regime) tracking
+# ---------------------------------------------------------------------------
+
+REGIME_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("regime_no", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+# type_null distinguishes "regime of NULL-typed events" from an absent
+# type: the batch twin's IS DISTINCT FROM merges consecutive NULLs into
+# one regime, so the streaming state must encode NULL-ness explicitly
+# instead of overloading the string field.
+_REGIME_STATE = (
+    "type_null BOOLEAN, cur_type STRING, from_us LONG, n LONG, regime_no LONG"
+)
+
+
+def regime_history(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+    emit_open: bool = False,
+    timeout_s: int = 1800,
+) -> DataFrame:
+    """Streaming twin of ``q_scd2_history`` (plans/relational_queries.py).
+
+    Per key, consecutive events whose ``type_col`` is null-safe-equal
+    extend the current validity regime; a change CLOSES the regime
+    (``valid_to_us`` = the new regime's start — the batch twin's lead()
+    semantics) and opens the next. Regime numbering reproduces the batch
+    cumulative-change-flag exactly: the first regime is 1, except a
+    leading NULL-type regime which is 0 (the batch flag for a first row
+    whose type null-safe-equals the NULL lag is 0). Open regimes are
+    emitted on idle timeout, or per batch as snapshots when
+    ``emit_open`` (valid_to_us NULL, closed False).
+
+    Ordering contract (same as the batch twin's window ORDER BY ts,
+    event_id): events are sorted by (``ts_col``, ``id_col``) WITHIN each
+    micro-batch; a late event arriving after its regime's successor has
+    already opened is appended to the CURRENT regime, not retrofitted —
+    the streaming-vs-batch divergence inherent to any incremental SCD2.
+
+    Scale posture: state is one fixed-width row per key (the open
+    regime), hash-partitioned by the groupBy; closed regimes leave the
+    state store immediately; no driver state.
+    """
+
+    def fn(key, batches, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            type_null, cur_type, from_us, n, regime_no = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "regime_no": [regime_no],
+                    "event_type": [None if type_null else cur_type],
+                    "n_events": [n],
+                    "valid_from_us": [from_us],
+                    "valid_to_us": [None],
+                    "closed": [False],
+                }
+            )
+            return
+
+        pdfs = [pdf for pdf in batches]
+        recs: list[tuple[int, str | None]] = []
+        if pdfs:
+            allpdf = pd.concat(pdfs, ignore_index=True)
+            order = [ts_col] + ([id_col] if id_col else [])
+            allpdf = allpdf.sort_values(order, kind="mergesort")
+            ts_us = (
+                pd.to_datetime(allpdf[ts_col]).astype("int64") // 1000
+            ).tolist()
+            types = [
+                None if pd.isna(v) else str(v) for v in allpdf[type_col]
+            ]
+            recs = list(zip(ts_us, types))
+
+        cur = tuple(state.get) if state.exists else None
+        out = []
+        for t_us, ty in recs:
+            if cur is None:
+                cur = (ty is None, ty, t_us, 1, 0 if ty is None else 1)
+            elif (ty is None and cur[0]) or (
+                ty is not None and not cur[0] and ty == cur[1]
+            ):
+                cur = (cur[0], cur[1], cur[2], cur[3] + 1, cur[4])
+            else:
+                out.append(
+                    (cur[4], None if cur[0] else cur[1], cur[3], cur[2], t_us, True)
+                )
+                cur = (ty is None, ty, t_us, 1, cur[4] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(timeout_s * 1000)
+            if emit_open:
+                out.append(
+                    (cur[4], None if cur[0] else cur[1], cur[3], cur[2], None, False)
+                )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "regime_no": [o[0] for o in out],
+                    "event_type": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                    "valid_from_us": [o[3] for o in out],
+                    "valid_to_us": [o[4] for o in out],
+                    "closed": [o[5] for o in out],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=REGIME_SCHEMA,
+        stateStructType=_REGIME_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

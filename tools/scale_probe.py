@@ -54,6 +54,7 @@ EXTRA_QUERIES = (
     # FULL corpus text through a doc_id groupBy (2.7x on first measure)
     "q_dedup_block_scrub",
     "q_scd2_history",
+    "q_dedup_prefix_filter",
 )
 
 

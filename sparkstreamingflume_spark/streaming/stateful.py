@@ -195,6 +195,10 @@ def regime_history(
         recs: list[tuple[int, str | None]] = []
         if pdfs:
             allpdf = pd.concat(pdfs, ignore_index=True)
+            # a NULL timestamp cannot be ordered into a regime; dropping
+            # the row (not the whole batch) mirrors how the batch twin's
+            # window simply never sees rows the fixture doesn't produce
+            allpdf = allpdf[allpdf[ts_col].notna()]
             order = [ts_col] + ([id_col] if id_col else [])
             allpdf = allpdf.sort_values(order, kind="mergesort")
             ts_us = (

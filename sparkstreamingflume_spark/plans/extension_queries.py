@@ -634,16 +634,43 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_sh") - F.floor(ceil_t) + 1
-    ).select("doc_id", "h")
+    ).select("doc_id", "h", "rk", "n_sh")
+    # PPJoin refinements on top of the prefix join, both LOSSLESS (the
+    # plain-exact oracle + the brute-force pin certify that):
+    #  * length filter — J >= t forces min(na,nb)/max(na,nb) >= t;
+    #  * positional filter — a common token at ranks (i, j) bounds the
+    #    overlap by 1 + min(na - i, nb - j); using the per-pair MIN rank
+    #    on each side only loosens the bound (min rk <= any common rk),
+    #    so no qualifying pair is dropped. Required overlap for J >= t
+    #    is alpha = ceil((na+nb) * t / (1+t)), exact in integers below.
     pa_, pb_ = prefix.alias("pa"), prefix.alias("pb")
-    cand = (
+    t_num, t_den = PF_JACCARD_MIN_PPM, PF_JACCARD_MIN_PPM + 1_000_000
+    cand0 = (
         pa_.join(pb_, (F.col("pa.h") == F.col("pb.h")))
         .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .select(
-            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        .filter(
+            F.least(F.col("pa.n_sh"), F.col("pb.n_sh")) * 1_000_000
+            >= F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))
+            * PF_JACCARD_MIN_PPM
         )
-        .distinct()
+        .groupBy(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.min("pa.rk").alias("rka"),
+            F.min("pb.rk").alias("rkb"),
+            F.first("pa.n_sh").alias("na_"),
+            F.first("pb.n_sh").alias("nb_"),
+        )
     )
+    alpha = F.floor(
+        ((F.col("na_") + F.col("nb_")) * t_num + (t_den - 1)) / F.lit(t_den)
+    )
+    ubound = 1 + F.least(
+        F.col("na_") - F.col("rka"), F.col("nb_") - F.col("rkb")
+    )
+    cand = cand0.filter(ubound >= alpha).select("doc_a", "doc_b")
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("n_sh"),

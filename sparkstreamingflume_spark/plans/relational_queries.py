@@ -542,6 +542,123 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGE_US = 7 * 24 * 3600 * 1_000_000  # per-stage conversion window
+
+
+@query(
+    "q_funnel",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(us) AS s1_us
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.us) AS s2_us
+        FROM ev e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.us > s1_us AND e.us - s1_us <= {FUNNEL_STAGE_US}
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.us) AS s3_us
+        FROM ev e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.us > s2_us AND e.us - s2_us <= {FUNNEL_STAGE_US}
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1_us, s2_us, s3_us,
+           CAST(CASE WHEN s3_us IS NOT NULL THEN 3
+                     WHEN s2_us IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage_reached,
+           s3_us - s1_us AS convert_us
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Windowed FUNNEL analysis (view -> click -> purchase, each stage "
+    "within 7 days of the previous): the ordered-sequence-match op every "
+    "product-analytics engine advertises and plain SQL struggles with. "
+    "The Spark plan is a SINGLE-SHUFFLE fold: per user, events collect "
+    "into one (us, event_id, type)-sorted array and F.aggregate folds "
+    "the stage machine over it (earliest qualifying event per stage — "
+    "equivalent to the chained conditional-min form because strict "
+    "inequalities make tie order irrelevant), entirely in Catalyst "
+    "higher-order functions, no Python, no window over raw events, no "
+    "per-stage join passes. The ORACLE deliberately takes the other "
+    "algorithm — three chained min-CTE joins — so the cross-engine hash "
+    "match certifies the fold against an independent formulation, not a "
+    "mirrored one. Users who never reach stage 1 are absent (funnel "
+    "entry defines the population). 100 TB shape: one exchange on "
+    "user_id; per-user memory = that user's event count (activity-"
+    "bounded, same contract as the sessionizers); the fold is O(events) "
+    "with a 3-field accumulator. Extra: certified by the pytest oracle "
+    "gate.",
+    tags=("relational", "session"),
+    extra=True,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("ty"),
+        ).alias("e"),
+    )
+    folded = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    )
+    nil = F.lit(None).cast("long")
+    W = F.lit(FUNNEL_STAGE_US)
+
+    def step(acc, x):
+        s1 = F.when(
+            acc["s1"].isNull() & (x["ty"] == "view"), x["us"]
+        ).otherwise(acc["s1"])
+        s2 = F.when(
+            acc["s2"].isNull()
+            & acc["s1"].isNotNull()
+            & (x["ty"] == "click")
+            & (x["us"] > acc["s1"])
+            & (x["us"] - acc["s1"] <= W),
+            x["us"],
+        ).otherwise(acc["s2"])
+        s3 = F.when(
+            acc["s3"].isNull()
+            & acc["s2"].isNotNull()
+            & (x["ty"] == "purchase")
+            & (x["us"] > acc["s2"])
+            & (x["us"] - acc["s2"] <= W),
+            x["us"],
+        ).otherwise(acc["s3"])
+        return F.struct(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+
+    st = F.aggregate(
+        "evs",
+        F.struct(nil.alias("s1"), nil.alias("s2"), nil.alias("s3")),
+        step,
+    )
+    return (
+        folded.select("user_id", st.alias("st"))
+        .filter(F.col("st.s1").isNotNull())
+        .select(
+            "user_id",
+            F.col("st.s1").alias("s1_us"),
+            F.col("st.s2").alias("s2_us"),
+            F.col("st.s3").alias("s3_us"),
+            F.when(F.col("st.s3").isNotNull(), 3)
+            .when(F.col("st.s2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("stage_reached"),
+            (F.col("st.s3") - F.col("st.s1")).alias("convert_us"),
+        )
+    )
+
+
 @query(
     "q_pivot",
     """

@@ -55,6 +55,7 @@ EXTRA_QUERIES = (
     "q_dedup_block_scrub",
     "q_scd2_history",
     "q_dedup_prefix_filter",
+    "q_funnel",
 )
 
 

@@ -542,6 +542,94 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_retention",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+    SELECT c.cohort_day,
+           e.day - c.cohort_day AS offset_days,
+           count(DISTINCT e.user_id) AS n_active
+    FROM ev e JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_day, e.day - c.cohort_day
+    """,
+    doc="Cohort RETENTION analysis (the product-analytics staple next to "
+    "q_funnel): users cohorted by first-activity day, and for each "
+    "(cohort_day, offset_days) the count of distinct cohort members "
+    "active that day — the retention-triangle input. Day ids are "
+    "integer days-since-epoch (epoch_us div 86400e6, exact in both "
+    "engines). 100 TB shape: the cohort frame is one combinable min-agg "
+    "on user_id and the join back to events is co-partitioned on the "
+    "same key (the agg's exchange is reused for the join side), "
+    "followed by one count-distinct rollup whose key space is "
+    "(cohorts x offsets) — calendar-bounded, not data-bounded. Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("relational", "session"),
+    extra=True,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS type_to,
+               lag(event_type) OVER w AS type_from,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT type_from, type_to, count(*) AS n_transitions
+    FROM seq WHERE rn > 1
+    GROUP BY type_from, type_to
+    """,
+    doc="First-order event-transition matrix (Markov path analysis / the "
+    "input to a Sankey diagram): per user, consecutive-event "
+    "(type_from, type_to) pairs under the same (ts, event_id) total "
+    "order as q_scd2_history, counted over the corpus. Predecessor "
+    "existence is tested with row_number > 1, NOT type_from IS NOT "
+    "NULL, so a genuine NULL-typed predecessor (null corpus) keeps its "
+    "transition row — both engines group NULL keys together in "
+    "GROUP BY, making the NULL semantics identical. 100 TB shape: one "
+    "user_id window exchange (sorted once) feeding a combinable count "
+    "agg on a key space of |event types|^2. Extra: certified by the "
+    "pytest oracle gate.",
+    tags=("relational", "window"),
+    extra=True,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("type_to"),
+        F.lag("event_type").over(w).alias("type_from"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        seq.filter(F.col("rn") > 1)
+        .groupBy("type_from", "type_to")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 FUNNEL_STAGE_US = 7 * 24 * 3600 * 1_000_000  # per-stage conversion window
 
 

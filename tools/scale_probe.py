@@ -56,6 +56,8 @@ EXTRA_QUERIES = (
     "q_scd2_history",
     "q_dedup_prefix_filter",
     "q_funnel",
+    "q_retention",
+    "q_event_transitions",
 )
 
 

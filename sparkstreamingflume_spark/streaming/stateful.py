@@ -250,3 +250,127 @@ def regime_history(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: incremental conversion tracking
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("s1_us", T.LongType()),
+        T.StructField("s2_us", T.LongType()),
+        T.StructField("s3_us", T.LongType()),
+        T.StructField("stage_reached", T.LongType()),
+        T.StructField("convert_us", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_FUNNEL_STATE = "s1 LONG, s2 LONG, s3 LONG"
+
+
+def funnel_progress(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    stage_window_us: int = 7 * 24 * 3600 * 1_000_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+    emit_open: bool = False,
+    timeout_s: int = 1800,
+) -> DataFrame:
+    """Streaming twin of ``q_funnel`` (plans/relational_queries.py).
+
+    The batch query is a left fold of a 3-stage state machine over each
+    user's time-ordered events, so the incremental form is exact: the
+    (s1, s2, s3) accumulator lives in the state store and each
+    micro-batch folds its (ts, id)-sorted, NULL-ts-filtered events into
+    it. A COMPLETION (stage 3 reached) emits one closed row; the state
+    is kept (s3 set) so later events can neither re-open nor re-emit —
+    matching the batch first-completion-only semantics under replay.
+    Open-funnel snapshots are emitted per batch when ``emit_open``
+    (closed False), or on idle timeout. In-order arrival across batches
+    gives exact batch parity (tests/test_stream_funnel.py); a late
+    cross-batch event is folded when it arrives, the divergence
+    inherent to any incremental funnel.
+
+    Scale posture: three longs of state per key, hash-partitioned;
+    completed and timed-out keys cost one fixed-width row; no driver
+    state.
+    """
+    st1, st2, st3 = stages
+
+    def emit_row(key, s, closed):
+        import pandas as pd
+
+        stage = 3 if s[2] is not None else (2 if s[1] is not None else 1)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "s1_us": [s[0]],
+                "s2_us": [s[1]],
+                "s3_us": [s[2]],
+                "stage_reached": [stage],
+                "convert_us": [
+                    s[2] - s[0] if s[2] is not None else None
+                ],
+                "closed": [closed],
+            }
+        )
+
+    def fn(key, batches, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            s = tuple(state.get)
+            state.remove()
+            if s[0] is not None and s[2] is None:
+                yield emit_row(key, s, False)
+            return
+
+        pdfs = [pdf for pdf in batches]
+        recs: list[tuple[int, str | None]] = []
+        if pdfs:
+            allpdf = pd.concat(pdfs, ignore_index=True)
+            allpdf = allpdf[allpdf[ts_col].notna()]
+            order = [ts_col] + ([id_col] if id_col else [])
+            allpdf = allpdf.sort_values(order, kind="mergesort")
+            ts_us = (
+                pd.to_datetime(allpdf[ts_col]).astype("int64") // 1000
+            ).tolist()
+            types = [
+                None if pd.isna(v) else str(v) for v in allpdf[type_col]
+            ]
+            recs = list(zip(ts_us, types))
+
+        s = tuple(state.get) if state.exists else (None, None, None)
+        was_complete = s[2] is not None
+        for t_us, ty in recs:
+            if s[0] is None:
+                if ty == st1:
+                    s = (t_us, None, None)
+            elif s[1] is None:
+                if ty == st2 and t_us > s[0] and t_us - s[0] <= stage_window_us:
+                    s = (s[0], t_us, None)
+            elif s[2] is None:
+                if ty == st3 and t_us > s[1] and t_us - s[1] <= stage_window_us:
+                    s = (s[0], s[1], t_us)
+
+        if s[0] is not None:
+            state.update(s)
+            state.setTimeoutDuration(timeout_s * 1000)
+            if s[2] is not None and not was_complete:
+                yield emit_row(key, s, True)
+            elif s[2] is None and emit_open:
+                yield emit_row(key, s, False)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -564,11 +564,13 @@ _DAY_US = 24 * 3600 * 1_000_000
     "active that day — the retention-triangle input. Day ids are "
     "integer days-since-epoch (epoch_us div 86400e6, exact in both "
     "engines). 100 TB shape: the cohort frame is one combinable min-agg "
-    "on user_id and the join back to events is co-partitioned on the "
-    "same key (the agg's exchange is reused for the join side), "
-    "followed by one count-distinct rollup whose key space is "
-    "(cohorts x offsets) — calendar-bounded, not data-bounded. Extra: "
-    "certified by the pytest oracle gate.",
+    "on user_id, and Catalyst BROADCASTS it back to events (one row "
+    "per user, plan-asserted at fixture scale; above the broadcast "
+    "threshold AQE degrades to a co-partitioned sort-merge join on the "
+    "same key), followed by Spark's canonical two-exchange distinct "
+    "expansion whose final key space is (cohorts x offsets) — "
+    "calendar-bounded, not data-bounded. Extra: certified by the "
+    "pytest oracle gate.",
     tags=("relational", "session"),
     extra=True,
 )

@@ -460,3 +460,36 @@ def test_scd2_history_runs_on_one_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected exactly one exchange:\n{plan}"
     assert plan.count("Window") >= 3  # lag, cumsum, interval-close lead
+
+
+def test_analytics_ops_plan_shapes(spark):
+    """Plan pins for the round-7 analytics family. q_funnel must stay
+    the single-shuffle Catalyst fold (one exchange, a higher-order
+    `aggregate(` over the collected array, NO Window over raw events);
+    q_event_transitions is one window exchange + one agg exchange;
+    q_retention must broadcast the one-row-per-user cohort frame at
+    fixture scale on top of its three agg exchanges (user_id min,
+    partial-distinct, final rollup)."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = (
+        REGISTRY["q_funnel"].build(spark, sf)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "aggregate(" in plan and "Window" not in plan
+
+    plan = (
+        REGISTRY["q_event_transitions"].build(spark, sf)._jdf
+        .queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    plan = (
+        REGISTRY["q_retention"].build(spark, sf)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan

@@ -52,11 +52,18 @@ def main() -> None:
     # neardup's per-batch floor is parquet index reads + two writes +
     # checkpoint commits (~4.7 s at ANY batch size, measured) — a 10 s
     # trigger amortizes it; throughput is rows/s, not batches/s
+    # scd2 runs applyInPandasWithState (Arrow + Python fold per batch):
+    # the per-batch floor is the Python worker round-trip, so the 10 s
+    # trigger amortizes it like neardup's parquet floor
     trigger_s = {
         "sjoin_inner": 20,
         "sjoin_outer": 20,
         "neardup": 10,
         "neardup_compact": 10,
+        # measured: the scd2 batch floor is ~13 s for 100k ACTIVE GROUPS
+        # regardless of row count (Arrow+Python round-trip per group set
+        # + RocksDB commit) — 20 s absorbs it, same bar as the joins
+        "scd2": 20,
     }.get(mode, 2)
 
     from pyspark.sql import functions as F
@@ -219,6 +226,25 @@ def main() -> None:
             .start()
         )
         transformed = None
+    elif mode == "scd2":
+        # 100k keys, each key's event_type flipping every |users| rows:
+        # at 50k rows/s a key sees an event every ~2 s and changes type
+        # every ~6 s, so regimes close continuously — state stays ONE
+        # fixed-width row per key (plateau check), output is the closed-
+        # regime stream. First soak row for a Python-stateful operator.
+        from sparkstreamingflume_spark.streaming.stateful import regime_history
+
+        n_users = 100_000
+        events = rate.select(
+            (F.col("value") % n_users).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                ((F.col("value") / n_users) % 3 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        transformed = regime_history(events, id_col="event_id", timeout_s=3600)
     elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one

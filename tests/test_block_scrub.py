@@ -99,3 +99,47 @@ def test_scrub_matches_oracle_when_active(spark, corpus):
         sdf.columns, [tuple(r) for r in sdf.collect()], ocols, orows
     )
     assert not problems, problems
+
+
+def test_scrub_under_mass_duplication(spark, tmp_path):
+    """200 identical multi-block docs (the hot-bucket scenario that
+    forces ceilings onto the pair-enumerating family): the scrub has no
+    quadratic stage to cap — detection is one combinable agg and only
+    doc 0 keeps content — and Spark must still hash-match the oracle
+    with the scrub maximally active."""
+    import duckdb
+
+    text = f"{S} {A} {T}"  # two blocks + tail
+    n = 200
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["hot"] * n, pa.string()),
+                "n_chars": pa.array([len(text)] * n, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    q = REGISTRY["q_dedup_block_scrub"]
+    sdf = q.build(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    assert len(rows) == 2 * n  # originals + twins
+    assert rows[0]["clean_text"] == text and rows[0]["n_removed"] == 0
+    # every other copy (originals 1..n-1 AND all twins) scrubs to tail
+    losers = [r for i, r in rows.items() if i != 0]
+    assert all(r["clean_text"] == T and r["n_removed"] == 2 for r in losers)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        ocols, orows = duck_fetch(con, q.oracle)
+    finally:
+        con.close()
+    problems = compare(
+        sdf.columns, [tuple(r) for r in sdf.collect()], ocols, orows
+    )
+    assert not problems, problems

@@ -464,7 +464,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
                     THEN 1 ELSE 0 END AS changed
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     regimes AS (
@@ -514,7 +514,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL on BOTH engines: an unknown-time event cannot be
+    # ordered into a regime, and NULL-first (Spark) vs NULL-last
+    # (DuckDB) window ordering would otherwise diverge silently
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = F.when(
         F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
@@ -550,6 +553,7 @@ _DAY_US = 24 * 3600 * 1_000_000
     f"""
     WITH ev AS (
         SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+        WHERE ts IS NOT NULL
     ),
     cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
     SELECT c.cohort_day,
@@ -575,7 +579,9 @@ _DAY_US = 24 * 3600 * 1_000_000
     extra=True,
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.floor(F.unix_micros("ts") / _DAY_US).cast("long").alias("day"),
     )
@@ -596,7 +602,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type AS type_to,
                lag(event_type) OVER w AS type_from,
                row_number() OVER w AS rn
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT type_from, type_to, count(*) AS n_transitions
@@ -618,7 +624,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("type_to"),
@@ -640,6 +646,7 @@ FUNNEL_STAGE_US = 7 * 24 * 3600 * 1_000_000  # per-stage conversion window
     f"""
     WITH ev AS (
         SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        WHERE ts IS NOT NULL
     ),
     s1 AS (
         SELECT user_id, min(us) AS s1_us
@@ -690,7 +697,9 @@ FUNNEL_STAGE_US = 7 * 24 * 3600 * 1_000_000  # per-stage conversion window
     extra=True,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.struct(
             F.unix_micros("ts").alias("us"),

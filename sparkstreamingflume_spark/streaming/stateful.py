@@ -115,6 +115,34 @@ def sessionize(
     )
 
 
+def _sorted_typed_recs(batches, ts_col, type_col, id_col):
+    """One (ts_us, type) record list per group micro-batch, ordered by
+    (ts, id) — the shared ingest contract of the stateful twins below.
+    NULL-timestamp rows are dropped (an unknown-time event cannot be
+    ordered; the batch twins filter `ts IS NOT NULL` identically).
+    The explicit datetime64[ns] normalization pins the `// 1000`
+    nanos→micros conversion even if a future pandas/Arrow hands the
+    column back at [us] resolution.
+    """
+    import pandas as pd
+
+    pdfs = list(batches)
+    if not pdfs:
+        return []
+    allpdf = pd.concat(pdfs, ignore_index=True)
+    allpdf = allpdf[allpdf[ts_col].notna()]
+    order = [ts_col] + ([id_col] if id_col else [])
+    allpdf = allpdf.sort_values(order, kind="mergesort")
+    ts_us = (
+        pd.to_datetime(allpdf[ts_col])
+        .astype("datetime64[ns]")
+        .astype("int64")
+        // 1000
+    ).tolist()
+    types = [None if pd.isna(v) else str(v) for v in allpdf[type_col]]
+    return list(zip(ts_us, types))
+
+
 # ---------------------------------------------------------------------------
 # Streaming SCD2: incremental dimension-history (regime) tracking
 # ---------------------------------------------------------------------------
@@ -147,7 +175,7 @@ def regime_history(
     type_col: str = "event_type",
     id_col: str | None = None,
     emit_open: bool = False,
-    timeout_s: int = 1800,
+    timeout_s: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``q_scd2_history`` (plans/relational_queries.py).
 
@@ -158,14 +186,25 @@ def regime_history(
     cumulative-change-flag exactly: the first regime is 1, except a
     leading NULL-type regime which is 0 (the batch flag for a first row
     whose type null-safe-equals the NULL lag is 0). Open regimes are
-    emitted on idle timeout, or per batch as snapshots when
-    ``emit_open`` (valid_to_us NULL, closed False).
+    emitted per batch as snapshots when ``emit_open`` (valid_to_us
+    NULL, closed False).
+
+    By default state is NEVER evicted (``timeout_s=None`` →
+    NoTimeout): exact regime numbering requires remembering each key's
+    regime count, so eviction and exactness are mutually exclusive.
+    State is one fixed-width row per key — bounded by key cardinality,
+    not stream length. Passing ``timeout_s`` opts into TTL eviction for
+    unbounded key spaces: the evicted regime is emitted as a final open
+    snapshot, and if the key later returns its numbering RESTARTS at
+    1/0 — a documented divergence from the batch twin, which is why it
+    is not the default.
 
     Ordering contract (same as the batch twin's window ORDER BY ts,
     event_id): events are sorted by (``ts_col``, ``id_col``) WITHIN each
-    micro-batch; a late event arriving after its regime's successor has
-    already opened is appended to the CURRENT regime, not retrofitted —
-    the streaming-vs-batch divergence inherent to any incremental SCD2.
+    micro-batch, NULL-ts rows dropped on both twins; a late event
+    arriving after its regime's successor has already opened is appended
+    to the CURRENT regime, not retrofitted — the streaming-vs-batch
+    divergence inherent to any incremental SCD2.
 
     Scale posture: state is one fixed-width row per key (the open
     regime), hash-partitioned by the groupBy; closed regimes leave the
@@ -191,24 +230,7 @@ def regime_history(
             )
             return
 
-        pdfs = [pdf for pdf in batches]
-        recs: list[tuple[int, str | None]] = []
-        if pdfs:
-            allpdf = pd.concat(pdfs, ignore_index=True)
-            # a NULL timestamp cannot be ordered into a regime; dropping
-            # the row (not the whole batch) mirrors how the batch twin's
-            # window simply never sees rows the fixture doesn't produce
-            allpdf = allpdf[allpdf[ts_col].notna()]
-            order = [ts_col] + ([id_col] if id_col else [])
-            allpdf = allpdf.sort_values(order, kind="mergesort")
-            ts_us = (
-                pd.to_datetime(allpdf[ts_col]).astype("int64") // 1000
-            ).tolist()
-            types = [
-                None if pd.isna(v) else str(v) for v in allpdf[type_col]
-            ]
-            recs = list(zip(ts_us, types))
-
+        recs = _sorted_typed_recs(batches, ts_col, type_col, id_col)
         cur = tuple(state.get) if state.exists else None
         out = []
         for t_us, ty in recs:
@@ -225,7 +247,8 @@ def regime_history(
                 cur = (ty is None, ty, t_us, 1, cur[4] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutDuration(timeout_s * 1000)
+            if timeout_s is not None:
+                state.setTimeoutDuration(timeout_s * 1000)
             if emit_open:
                 out.append(
                     (cur[4], None if cur[0] else cur[1], cur[3], cur[2], None, False)
@@ -248,7 +271,11 @@ def regime_history(
         outputStructType=REGIME_SCHEMA,
         stateStructType=_REGIME_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -280,7 +307,6 @@ def funnel_progress(
     type_col: str = "event_type",
     id_col: str | None = None,
     emit_open: bool = False,
-    timeout_s: int = 1800,
 ) -> DataFrame:
     """Streaming twin of ``q_funnel`` (plans/relational_queries.py).
 
@@ -292,16 +318,28 @@ def funnel_progress(
     is kept (s3 set) so later events can neither re-open nor re-emit —
     matching the batch first-completion-only semantics under replay.
     Open-funnel snapshots are emitted per batch when ``emit_open``
-    (closed False), or on idle timeout. In-order arrival across batches
-    gives exact batch parity (tests/test_stream_funnel.py); a late
-    cross-batch event is folded when it arrives, the divergence
-    inherent to any incremental funnel.
+    (closed False). In-order arrival across batches gives exact batch
+    parity (tests/test_stream_funnel.py); a late cross-batch event is
+    folded when it arrives, the divergence inherent to any incremental
+    funnel.
+
+    Eviction is derived from the stage window, never shorter: state is
+    only dropped after ``stage_window_us`` of processing-time idleness,
+    by which point (for a stream whose event time tracks wall clock) no
+    future event can satisfy the ``<= stage_window_us`` gate — an
+    in-progress funnel is never evicted while it could still advance,
+    and an evicted incomplete funnel is emitted as its final open
+    snapshot. Completed keys are evicted silently at the same horizon,
+    which bounds the replay no-op guarantee to one stage window of
+    idleness; accelerated-replay streams (event time ≠ wall clock)
+    should treat eviction as approximate.
 
     Scale posture: three longs of state per key, hash-partitioned;
-    completed and timed-out keys cost one fixed-width row; no driver
-    state.
+    completed and timed-out keys cost one fixed-width row until the
+    stage-window horizon; no driver state.
     """
     st1, st2, st3 = stages
+    eviction_ms = max(stage_window_us // 1000, 1000)
 
     def emit_row(key, s, closed):
         import pandas as pd
@@ -322,8 +360,6 @@ def funnel_progress(
         )
 
     def fn(key, batches, state: GroupState):
-        import pandas as pd
-
         if state.hasTimedOut:
             s = tuple(state.get)
             state.remove()
@@ -331,21 +367,7 @@ def funnel_progress(
                 yield emit_row(key, s, False)
             return
 
-        pdfs = [pdf for pdf in batches]
-        recs: list[tuple[int, str | None]] = []
-        if pdfs:
-            allpdf = pd.concat(pdfs, ignore_index=True)
-            allpdf = allpdf[allpdf[ts_col].notna()]
-            order = [ts_col] + ([id_col] if id_col else [])
-            allpdf = allpdf.sort_values(order, kind="mergesort")
-            ts_us = (
-                pd.to_datetime(allpdf[ts_col]).astype("int64") // 1000
-            ).tolist()
-            types = [
-                None if pd.isna(v) else str(v) for v in allpdf[type_col]
-            ]
-            recs = list(zip(ts_us, types))
-
+        recs = _sorted_typed_recs(batches, ts_col, type_col, id_col)
         s = tuple(state.get) if state.exists else (None, None, None)
         was_complete = s[2] is not None
         for t_us, ty in recs:
@@ -361,7 +383,7 @@ def funnel_progress(
 
         if s[0] is not None:
             state.update(s)
-            state.setTimeoutDuration(timeout_s * 1000)
+            state.setTimeoutDuration(eviction_ms)
             if s[2] is not None and not was_complete:
                 yield emit_row(key, s, True)
             elif s[2] is None and emit_open:

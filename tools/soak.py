@@ -235,13 +235,18 @@ def main() -> None:
         from sparkstreamingflume_spark.streaming.stateful import regime_history
 
         n_users = 100_000
+        # key u's k-th event has value = u + k*n_users, so
+        # (value div (3*n_users)) increments every 3rd key-event: the
+        # type flips every 3 events per key — regimes EXTEND twice then
+        # close, exercising both state paths (a per-event flip would
+        # never hit the extend branch and close 3x the regimes)
         events = rate.select(
             (F.col("value") % n_users).alias("user_id"),
             F.col("timestamp").alias("ts"),
             F.col("value").alias("event_id"),
             F.element_at(
                 F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
-                ((F.col("value") / n_users) % 3 + 1).cast("int"),
+                (F.expr(f"(value div {3 * n_users}) % 3") + 1).cast("int"),
             ).alias("event_type"),
         )
         transformed = regime_history(events, id_col="event_id", timeout_s=3600)

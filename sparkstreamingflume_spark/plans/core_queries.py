@@ -515,10 +515,13 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
            count(*) AS n,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     doc="W3 — tumbling 1h event-time window (the reference's day/hour path "
-    "partitioning as a window, src/ProcessSums.scala:252-255).",
+    "partitioning as a window, src/ProcessSums.scala:252-255). NULL-ts "
+    "contract: Spark's window() assigns no window to a NULL timestamp "
+    "(the row is dropped); the oracle filters identically so a NULL "
+    "group never appears on one engine only.",
     tags=("window", "W3"),
 )
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,10 +545,10 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH slid AS (
         SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS w
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP)
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart, count(*) AS n
     FROM slid GROUP BY w

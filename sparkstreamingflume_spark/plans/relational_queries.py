@@ -360,7 +360,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -384,7 +384,9 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL both engines: Spark window-orders NULLs first,
+    # DuckDB last — an unordered event cannot join a session anyway
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_us = F.lag(F.unix_micros("ts")).over(w)
     is_start = F.when(
@@ -413,7 +415,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                        >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_start
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -445,7 +447,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sw = ev.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")
     ).agg(F.count("*").alias("n_events"))
@@ -836,6 +838,7 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN events b
           ON b.user_id = p.user_id AND b.event_type = 'purchase'
          AND b.ts <= p.ts
+        WHERE p.ts IS NOT NULL
     )
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            anchor_id, epoch_us(anchor_ts) AS anchor_ts_us
@@ -854,7 +857,10 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "asof"),
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL: an event without a time has no as-of position
+    # (and Spark's NULLS FIRST window order would diverge from the
+    # oracle's NULL-failing <= predicate)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     probes = ev.select(
         "user_id",
         "ts",
@@ -1368,7 +1374,7 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_partials,
            TRUE AS est_within_5pct
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
     """,
     doc="Two-level mergeable-sketch rollup (DataSketches HLL): partial "
     "sketches per (event_type, day) are hll_union_agg'd into per-type "
@@ -1387,7 +1393,10 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL: partials are per-DAY sketches, and an event with
+    # no day belongs to no partial (count(DISTINCT day) would also drop
+    # the NULL day oracle-side while Spark's groupBy kept the group)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     partials = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))

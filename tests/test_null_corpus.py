@@ -128,6 +128,12 @@ def null_ev_sf(spark, tmp_path_factory):
     cols["value"] = with_nulls("value", 7)
     cols["event_type"] = with_nulls("event_type", 11)
     cols["props"] = with_nulls("props", 13)
+    # NULL ts added late round 7: window ORDER BY ts places NULLs FIRST
+    # in Spark but LAST in DuckDB, so any time-ordered event query that
+    # does not pin its NULL-ts contract diverges silently — the round-7
+    # analytics family filters `ts IS NOT NULL` on both engines for
+    # exactly this reason, and this fixture keeps everyone honest.
+    cols["ts"] = with_nulls("ts", 17)
     pq.write_table(pa.table(cols), str(out / "events.parquet"))
     return str(out)
 

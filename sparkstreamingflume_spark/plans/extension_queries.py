@@ -3453,6 +3453,95 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"  # the reference-domain subset
+
+
+@query(
+    "q_dsir_weight",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOK}) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS cnt_a,
+               CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+        FROM toks GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+               CAST(sum(cnt_t) AS BIGINT) AS tt
+        FROM stats
+    ),
+    contrib AS (
+        SELECT t.doc_id,
+               (s.cnt_t * 1000000 // tot.tt)
+               - (s.cnt_a * 1000000 // tot.ta) AS c
+        FROM toks t JOIN stats s ON s.tok = t.tok, tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor(sum(c) * 1.0 / count(*)) AS BIGINT) AS dsir_ppm,
+           floor(sum(c) * 1.0 / count(*)) > 0 AS keep
+    FROM contrib GROUP BY doc_id
+    """,
+    doc="Domain-targeted data selection (the DSIR shape, Xie et al. 2023: "
+    "weight every corpus doc by how much its features resemble a target "
+    "domain vs the raw corpus, then keep the high scorers): target = "
+    "the '" + DSIR_TARGET_LANG + "'-lang subset, features = unigram "
+    "tokens, per-token contrast = target-frequency ppm minus corpus-"
+    "frequency ppm (DSIR proper uses a log-likelihood ratio of hashed-"
+    "ngram LMs; the difference-of-ppm form is the order-preserving "
+    "linear discriminant chosen because floor(log(x)) of cross-engine "
+    "doubles can flip at ulp boundaries while integer ppm arithmetic "
+    "cannot — same determinism trade as q_lm_score's perplexity "
+    "proxy), doc score = mean token contrast, keep = score > 0. "
+    "100 TB shape: ONE conditional aggregate builds both frequency "
+    "tables in a single token shuffle (sum(CASE lang)), the two "
+    "scalar totals broadcast from a one-row agg, the stats join is "
+    "vocabulary-sized (broadcast or SMJ as AQE sizes it), and the "
+    "per-doc mean is a combinable agg on doc_id. Extra: certified by "
+    "the pytest oracle gate.",
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt_a"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("cnt_t"),
+    )
+    tot = stats.agg(
+        F.sum("cnt_a").alias("ta"), F.sum("cnt_t").alias("tt")
+    )
+    contrast = F.expr("cnt_t * 1000000 div tt") - F.expr(
+        "cnt_a * 1000000 div ta"
+    )
+    per_doc = (
+        toks.join(stats, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(contrast).alias("sum_c"),
+        )
+    )
+    score = F.floor(F.col("sum_c") * 1.0 / F.col("n_tokens"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        score.cast("long").alias("dsir_ppm"),
+        (score > 0).alias("keep"),
+    )
+
+
 # 60-bit SimHash (the "widen the signature" scale path promised by
 # q_dedup_simhash_pairs' docstring, as code): token hash is the first 15
 # md5 hex chars (60 bits, cross-engine exact), the signature splits into

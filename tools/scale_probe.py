@@ -58,6 +58,7 @@ EXTRA_QUERIES = (
     "q_funnel",
     "q_retention",
     "q_event_transitions",
+    "q_dsir_weight",
 )
 
 

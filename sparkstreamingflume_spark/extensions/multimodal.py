@@ -556,3 +556,107 @@ def extract_content_features(df: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(featurize, schema=CONTENT_FEATURES_SCHEMA)
+
+
+def near_dup_media(
+    df: DataFrame,
+    dim: int = 64,
+    n_planes: int = 16,
+    threshold_ppm: int = 990_000,
+    bucket_ceil: int = 128,
+) -> DataFrame:
+    """Near-duplicate detection over opaque BINARY media columns:
+    (media_id, payload) -> (media_a, media_b, cosine_ppm) pairs.
+
+    The end-to-end composition of the multimodal featurizer with the
+    text side's LSH dedup machinery: byte-histogram features
+    (extract_content_features — L2-normalized, so dot product IS
+    cosine), a signed-random-projection signature (``n_planes`` seeded
+    hyperplanes, applied as a broadcast crossJoin + zip_with dot per
+    plane — all Catalyst, no Python past the featurizer), bucket-only
+    candidate generation on the full signature with the family's
+    BUCKET_CEIL contract (a bucket holding B media emits O(B²)
+    candidates; mass-duplicated payloads belong to exact dedup on
+    md5(payload), not pair enumeration), and an exact cosine verify on
+    the feature vectors. A CLIP/ViT embedder drops into the featurizer
+    slot and this operator becomes semantic near-dup unchanged.
+
+    100 TB shape: one mapInPandas featurize pass (shuffle-free), one
+    signature aggregate (media_id keyed), one bucket self-join whose
+    key is the n_planes-bit signature, verify joins carrying dim-float
+    vectors only for surviving candidates. Test-pinned
+    (tests/test_multimodal.py) rather than oracle-certified: DuckDB
+    cannot run the mapInPandas featurizer.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    rng = np.random.default_rng(20260814)
+    planes = rng.standard_normal((n_planes, dim)).astype(float).tolist()
+    planes_df = spark.createDataFrame(
+        [(j, planes[j]) for j in range(n_planes)],
+        "plane_id INT, plane ARRAY<DOUBLE>",
+    )
+
+    feats = extract_content_features(df, dim).filter(
+        (F.col("n_bytes") > 0) & (F.size("embedding") == dim)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("plane"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = feats.crossJoin(F.broadcast(planes_df)).select(
+        "media_id",
+        (dot > 0).cast("long").alias("bit"),
+        "plane_id",
+    )
+    sigs = bits.groupBy("media_id").agg(
+        F.sum(F.expr("shiftleft(bit, plane_id)")).alias("sig")
+    )
+    pruned = (
+        sigs.withColumn("bsz", F.count("*").over(Window.partitionBy("sig")))
+        .filter(F.col("bsz") <= bucket_ceil)
+        .drop("bsz")
+    )
+    sa, sb = pruned.alias("sa"), pruned.alias("sb")
+    cand = (
+        sa.join(sb, F.col("sa.sig") == F.col("sb.sig"))
+        .filter(F.col("sa.media_id") < F.col("sb.media_id"))
+        .select(
+            F.col("sa.media_id").alias("media_a"),
+            F.col("sb.media_id").alias("media_b"),
+        )
+    )
+    fa = feats.select(
+        F.col("media_id").alias("media_a"), F.col("embedding").alias("ea")
+    )
+    fb = feats.select(
+        F.col("media_id").alias("media_b"), F.col("embedding").alias("eb")
+    )
+    cosine = F.aggregate(
+        F.zip_with(
+            F.col("ea").cast("array<double>"),
+            F.col("eb").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            F.floor(cosine * 1_000_000).cast("long").alias("cosine_ppm"),
+        )
+        .filter(F.col("cosine_ppm") >= threshold_ppm)
+    )

@@ -426,3 +426,34 @@ def test_byte_histogram_features_locality_and_entropy(spark):
     assert cos(out[1]["embedding"], out[2]["embedding"]) > 0.999
     assert out[4]["n_bytes"] == 0 and out[4]["entropy_bits"] == 0.0
     assert out[5]["n_bytes"] == 0 and out[5]["entropy_bits"] == 0.0
+
+
+def test_near_dup_media_finds_perturbed_copies(spark):
+    """The featurizer->SRP-LSH->cosine-verify composition: an exact
+    copy and an 8-bytes-perturbed copy of a 4 KB payload pair with the
+    original at cosine ~1; a differently-distributed payload (ASCII
+    text vs full-range bytes) pairs with nothing."""
+    import random
+
+    from sparkstreamingflume_spark.extensions.multimodal import near_dup_media
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(4096))
+    near = bytearray(base)
+    for p in rnd.sample(range(len(near)), 8):
+        near[p] = (near[p] + 128) % 256
+    text = ("the quick brown fox " * 205)[:4096].encode()  # ASCII band only
+    rows = [
+        (1, base),
+        (2, bytes(near)),
+        (3, base),  # exact duplicate
+        (4, text),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    pairs = {
+        (r.media_a, r.media_b): r.cosine_ppm
+        for r in near_dup_media(df).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 3)] >= 999_999  # exact copy: cosine 1.0
+    assert all(v >= 990_000 for v in pairs.values())

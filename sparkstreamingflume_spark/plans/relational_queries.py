@@ -897,6 +897,111 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_resample_locf",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn // {_HOUR_US}, mx // {_HOUR_US}))
+                   AS slot
+        FROM (SELECT user_id, min(us) AS mn, max(us) AS mx
+              FROM ev GROUP BY user_id)
+    ),
+    cand AS (
+        SELECT g.user_id, g.slot * {_HOUR_US} AS slot_us,
+               e.us, e.cents,
+               row_number() OVER (PARTITION BY g.user_id, g.slot
+                                  ORDER BY e.us DESC, e.event_id DESC) AS rn
+        FROM grid g
+        LEFT JOIN ev e ON e.user_id = g.user_id
+                      AND e.us <= g.slot * {_HOUR_US}
+    )
+    SELECT user_id, slot_us,
+           cents AS value_cents,
+           slot_us - us AS staleness_us
+    FROM cand WHERE rn = 1
+    """,
+    doc="Time-series RESAMPLE to a regular hourly grid with "
+    "last-observation-carried-forward gap fill (the Flint/tempo-style "
+    "op Spark has no native form of): each user gets one row per hour "
+    "slot spanning their observed range, valued at the latest "
+    "observation at-or-before the slot boundary, with the observation's "
+    "staleness attached (slots before a user's first observation carry "
+    "NULLs). Same union-merge shape as q_asof_join: the grid explodes "
+    "from per-user (min, max) bounds — calendar-bounded, not "
+    "event-bounded — then ONE window partitioned by user_id (slots and "
+    "observations merged, observations-first at equal instants, "
+    "event_id tiebreak mirroring the oracle's DESC/DESC rn=1 pick) "
+    "carries the running last value to every slot: one shuffle, linear "
+    "scan per partition, never the O(slots x observations) join the "
+    "quadratic oracle spells. Contract: ts/value IS NOT NULL on both "
+    "engines (a timeless or valueless row is not an observation — and "
+    "Spark's last(ignorenulls) would skip a NULL-value anchor the "
+    "oracle's rn=1 would pick). Extra: certified by the pytest oracle "
+    "gate.",
+    tags=("relational", "window", "asof"),
+    extra=True,
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"mn div {_HOUR_US}"), F.expr(f"mx div {_HOUR_US}")
+            )
+        ).alias("slot"),
+    )
+    probes = grid.select(
+        "user_id",
+        (F.col("slot") * _HOUR_US).alias("t"),
+        F.lit(None).cast("struct<us:bigint,cents:bigint>").alias("obs"),
+        F.lit(0).alias("is_anchor"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    anchors = ev.select(
+        "user_id",
+        F.col("us").alias("t"),
+        F.struct("us", "cents").alias("obs"),
+        F.lit(1).alias("is_anchor"),
+        F.col("event_id").alias("eid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_anchor").desc(), F.col("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = probes.unionByName(anchors).withColumn(
+        "last_obs", F.last("obs", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_anchor") == 0).select(
+        "user_id",
+        F.col("t").alias("slot_us"),
+        F.col("last_obs.cents").alias("value_cents"),
+        (F.col("t") - F.col("last_obs.us")).alias("staleness_us"),
+    )
+
+
 @query(
     "q_range_join",
     """

@@ -59,6 +59,7 @@ EXTRA_QUERIES = (
     "q_retention",
     "q_event_transitions",
     "q_dsir_weight",
+    "q_resample_locf",
 )
 
 

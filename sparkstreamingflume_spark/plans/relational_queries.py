@@ -1003,6 +1003,146 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_resample_interp",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(mn // {_HOUR_US}, mx // {_HOUR_US}))
+                   AS slot
+        FROM (SELECT user_id, min(us) AS mn, max(us) AS mx
+              FROM ev GROUP BY user_id)
+    ),
+    prevs AS (
+        SELECT user_id, slot_us, us AS p_us, cents AS p_c FROM (
+            SELECT g.user_id, g.slot * {_HOUR_US} AS slot_us, e.us, e.cents,
+                   row_number() OVER (PARTITION BY g.user_id, g.slot
+                                      ORDER BY e.us DESC, e.event_id DESC)
+                       AS rn
+            FROM grid g
+            LEFT JOIN ev e ON e.user_id = g.user_id
+                          AND e.us <= g.slot * {_HOUR_US}
+        ) WHERE rn = 1
+    ),
+    nexts AS (
+        SELECT user_id, slot_us, us AS n_us, cents AS n_c FROM (
+            SELECT g.user_id, g.slot * {_HOUR_US} AS slot_us, e.us, e.cents,
+                   row_number() OVER (PARTITION BY g.user_id, g.slot
+                                      ORDER BY e.us ASC, e.event_id ASC)
+                       AS rn
+            FROM grid g
+            LEFT JOIN ev e ON e.user_id = g.user_id
+                          AND e.us >= g.slot * {_HOUR_US}
+        ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.slot_us,
+           CASE WHEN p_us IS NULL OR n_us IS NULL THEN NULL
+                WHEN n_us = p_us THEN p_c
+                ELSE (p_c * (n_us - p.slot_us) + n_c * (p.slot_us - p_us))
+                     // (n_us - p_us)
+           END AS value_cents,
+           n_us - p_us AS span_us
+    FROM prevs p JOIN nexts n
+      ON n.user_id = p.user_id AND n.slot_us = p.slot_us
+    """,
+    doc="Time-series resample with LINEAR INTERPOLATION — the companion "
+    "to q_resample_locf's step fill: each hourly slot interpolates "
+    "between the nearest observation at-or-before and at-or-after it "
+    "(NULL outside the observed range: no extrapolation; span_us "
+    "exposes the bracketing gap so consumers can reject stale "
+    "interpolations). Spark plan: the SAME union-merge window run "
+    "twice over one exchange — forward pass carries the previous "
+    "observation, a reverse-ordered pass (same user_id partitioning, "
+    "second sort only) carries the next — then pure integer "
+    "arithmetic: cents x microsecond weights stay under 2^60 and the "
+    "weighted mean uses integer division (Spark div and DuckDB // "
+    "both truncate, so the engines agree bit-for-bit where "
+    "floor(double/double) would lose exactness past 2^53). The oracle "
+    "again spells the quadratic two-sided join + rn=1 form. Extra: "
+    "certified by the pytest oracle gate.",
+    tags=("relational", "window", "asof"),
+    extra=True,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"mn div {_HOUR_US}"), F.expr(f"mx div {_HOUR_US}")
+            )
+        ).alias("slot"),
+    )
+    probes = grid.select(
+        "user_id",
+        (F.col("slot") * _HOUR_US).alias("t"),
+        F.lit(None).cast("struct<us:bigint,cents:bigint>").alias("obs"),
+        F.lit(0).alias("is_anchor"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    anchors = ev.select(
+        "user_id",
+        F.col("us").alias("t"),
+        F.struct("us", "cents").alias("obs"),
+        F.lit(1).alias("is_anchor"),
+        F.col("event_id").alias("eid"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_anchor").desc(), F.col("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # reverse pass: among equal-us anchors the oracle's (us ASC, eid ASC)
+    # rn=1 picks the MIN event_id, so the running-last under descending
+    # (t, eid) order must see that anchor latest
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").desc(), F.col("is_anchor").desc(), F.col("eid").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        probes.unionByName(anchors)
+        .withColumn("prev", F.last("obs", ignorenulls=True).over(fwd))
+        .withColumn("nxt", F.last("obs", ignorenulls=True).over(bwd))
+    )
+    p_us, p_c = F.col("prev.us"), F.col("prev.cents")
+    n_us, n_c = F.col("nxt.us"), F.col("nxt.cents")
+    interp = F.expr(
+        "(prev.cents * (nxt.us - t) + nxt.cents * (t - prev.us))"
+        " div (nxt.us - prev.us)"
+    )
+    value = (
+        F.when(p_us.isNull() | n_us.isNull(), F.lit(None).cast("long"))
+        .when(n_us == p_us, p_c)
+        .otherwise(interp)
+    )
+    return merged.filter(F.col("is_anchor") == 0).select(
+        "user_id",
+        F.col("t").alias("slot_us"),
+        value.alias("value_cents"),
+        (n_us - p_us).alias("span_us"),
+    )
+
+
+@query(
     "q_range_join",
     """
     SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,

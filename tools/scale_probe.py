@@ -60,6 +60,7 @@ EXTRA_QUERIES = (
     "q_event_transitions",
     "q_dsir_weight",
     "q_resample_locf",
+    "q_resample_interp",
 )
 
 

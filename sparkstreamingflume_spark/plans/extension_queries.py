@@ -3678,3 +3678,270 @@ def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / sketches / lexical search
+# ---------------------------------------------------------------------------
+
+SPS_N = 100  # weighted-sample size
+
+
+@query(
+    "q_sample_weighted",
+    f"""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               {h32_sql("'sps:' || CAST(doc_id AS VARCHAR)")} + 1 AS u
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(floor((CAST(u AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS pri_ppb
+    FROM w
+    ORDER BY pri_ppb, doc_id LIMIT {SPS_N}
+    """,
+    doc="Weighted sampling without replacement by sequential Poisson "
+    "sampling (Ohlsson 1998): per-doc priority u/w where u is the "
+    "deterministic h32 of the doc id (replacing random() so both "
+    "engines draw the same 'uniform') and w = n_chars; the sample is "
+    "the SPS_N smallest priorities, giving inclusion probability "
+    "approximately proportional to size. Determinism: the priority is "
+    "ONE IEEE division of two exactly-representable integers followed "
+    "by one multiply and floor — bit-identical across engines (no "
+    "pow/log, whose libm implementations differ; this is why the "
+    "classic u^(1/w) A-Res key is NOT used), ties broken by doc_id. "
+    "100 TB shape: Catalyst compiles orderBy+limit to "
+    "TakeOrderedAndProject — per-partition top-N then a driver merge "
+    "of N rows per partition, NO global sort exchange; the scan is a "
+    "2-column projection (plan-asserted in tests/test_contract.py). "
+    "Extra: certified by the pytest oracle gate.",
+    tags=("sampling", "pipeline"),
+    extra=True,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    u = h32(F.concat(F.lit("sps:"), F.col("doc_id").cast("string"))) + 1
+    pri = F.floor(
+        (u.cast("double") / F.col("n_chars").cast("double")) * 1_000_000_000
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", pri.alias("pri_ppb"))
+        .orderBy("pri_ppb", "doc_id")
+        .limit(SPS_N)
+    )
+
+
+CMS_D = 4  # sketch depth (independent hash rows)
+CMS_W = 256  # sketch width (buckets per row)
+HH_PPM = 20_000  # heavy = estimated count >= 2% of the token stream
+CMS_PROBE_DOCS = 10  # probe vocabulary: distinct tokens of doc_id < 10
+
+_CMS_DIMS = f"(SELECT unnest(generate_series(0, {CMS_D - 1})) AS d)"
+
+
+def _cms_bucket_sql(tok_expr: str) -> str:
+    return (
+        h32_sql(f"'cms' || CAST(d AS VARCHAR) || ':' || {tok_expr}")
+        + f" % {CMS_W}"
+    )
+
+
+@query(
+    "q_heavy_hitters_cms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK}) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tb AS (
+        SELECT tok, d, {_cms_bucket_sql('tok')} AS bucket
+        FROM tok, {_CMS_DIMS}
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM tb GROUP BY d, bucket
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+    probe AS (
+        SELECT DISTINCT tok FROM tok WHERE doc_id < {CMS_PROBE_DOCS}
+    ),
+    pb AS (
+        SELECT tok, d, {_cms_bucket_sql('tok')} AS bucket
+        FROM probe, {_CMS_DIMS}
+    ),
+    est AS (
+        SELECT pb.tok, min(s.cnt) AS est
+        FROM pb JOIN sketch s ON s.d = pb.d AND s.bucket = pb.bucket
+        GROUP BY pb.tok
+    )
+    SELECT est.tok, CAST(est AS BIGINT) AS est,
+           est * 1000000 >= tot.n_tok * {HH_PPM} AS heavy
+    FROM est, tot
+    """,
+    doc="Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "a {D} x {W} counter sketch over the corpus token stream, then "
+    "point estimates (min over the D rows) for a probe vocabulary, "
+    "flagging tokens whose estimate is >= HH_PPM of the stream. "
+    "Hashes are the cross-engine h32 with a per-row salt "
+    "('cms<d>:<tok>') so both engines build bit-identical sketches. "
+    "100 TB shape: the sketch is D*W = {DW} counters REGARDLESS of "
+    "corpus size — the groupBy(d, bucket) is map-side combinable onto "
+    "at most {DW} keys per task, so the shuffle moves KBs where a "
+    "per-token exact count would move the vocabulary; the probe join "
+    "broadcasts the KB-sized sketch; estimation error is the classic "
+    "one-sided +eps*N with eps = e/W. The per-token exact alternative "
+    "is q_text_topterms; this is the fixed-memory form a streaming or "
+    "federated counter needs. Extra: certified by the pytest oracle "
+    "gate.".format(D=CMS_D, W=CMS_W, DW=CMS_D * CMS_W),
+    tags=("text", "sketch", "pipeline"),
+    extra=True,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+
+    def buckets() -> F.Column:
+        return F.array(
+            *[
+                h32(F.concat(F.lit(f"cms{i}:"), F.col("tok"))) % CMS_W
+                for i in range(CMS_D)
+            ]
+        )
+
+    sketch = (
+        tok.select(F.posexplode(buckets()).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tok.agg(F.count("*").alias("n_tok"))
+    probe = (
+        tok.filter(F.col("doc_id") < CMS_PROBE_DOCS).select("tok").distinct()
+    )
+    pb = probe.select("tok", F.posexplode(buckets()).alias("d", "bucket"))
+    return (
+        pb.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") * 1_000_000 >= F.col("n_tok") * HH_PPM).alias(
+                "heavy"
+            ),
+        )
+    )
+
+
+BM25_TERMS = ("vector", "join", "filter")  # the fixed probe query
+BM25_K = 20  # result-page size
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "q_bm25_search",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK}) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS s_tok
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE tok IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, tok
+    ),
+    docfreq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_df FROM tf GROUP BY tok
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               (((1000000 * 44 * tf.tf * t.s_tok)
+                 // (20 * t.s_tok * tf.tf + 6 * t.s_tok + 18 * dl.dl * t.n_docs))
+                * (2 * t.n_docs - 2 * f.n_df + 1)) // (2 * f.n_df + 1) AS c
+        FROM tf
+        JOIN doclen dl ON dl.doc_id = tf.doc_id
+        JOIN docfreq f ON f.tok = tf.tok, totals t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS bm25_ppm
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25_ppm DESC, doc_id LIMIT {BM25_K}
+    """,
+    doc="BM25 lexical search (Robertson & Zaragoza 2009) for a fixed "
+    "query termset, top-{K} page: per-term contribution idf * "
+    "tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1 = 1.2, "
+    "b = 0.75, rendered EXACTLY in integers — multiplying the "
+    "saturation fraction through by 20*avgdl and substituting "
+    "avgdl = s_tok/n_docs gives numerator 44*tf*s_tok and denominator "
+    "20*s_tok*tf + 6*s_tok + 18*dl*n_docs (both BIGINT), floored to "
+    "ppm, then scaled by the log-free RSJ idf (N - df + .5)/(df + .5) "
+    "as the exact rational (2N-2df+1)/(2df+1) — log/exp never appear, "
+    "because libm log differs across engines at the ulp while integer "
+    "div cannot (same trade as q_dsir_weight). Two-stage flooring "
+    "keeps every intermediate under ~2e16 at sf100. 100 TB shape: one "
+    "token explode feeding two combinable aggs (per-doc length, "
+    "per-(doc,term) tf restricted to the termset BEFORE the shuffle), "
+    "a 3-row docfreq broadcast, a 1-row totals broadcast, and "
+    "orderBy+limit compiling to TakeOrderedAndProject (per-partition "
+    "top-K, no global sort exchange). The doclen join is the only "
+    "row-scaled shuffle and is keyed on doc_id. Extra: certified by "
+    "the pytest oracle gate.".format(K=BM25_K),
+    tags=("text", "search", "pipeline"),
+    extra=True,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("s_tok")
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("tok").agg(F.count("*").alias("n_df"))
+    contrib = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(docfreq), "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tf_part",
+            F.expr(
+                "(1000000 * 44 * tf * s_tok)"
+                " div (20 * s_tok * tf + 6 * s_tok + 18 * dl * n_docs)"
+            ),
+        )
+        .withColumn(
+            "c",
+            F.expr("(tf_part * (2 * n_docs - 2 * n_df + 1)) div (2 * n_df + 1)"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("bm25_ppm"))
+        .orderBy(F.col("bm25_ppm").desc(), "doc_id")
+        .limit(BM25_K)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.col("bm25_ppm").cast("long").alias("bm25_ppm"),
+        )
+    )

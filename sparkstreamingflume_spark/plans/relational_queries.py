@@ -1999,3 +1999,108 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_cents").alias("acctbal_cents"),
     )
     return upd.unionByName(ins).select("key", "op", "name", "acctbal_cents")
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection (population z-score, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# Flag events whose value deviates from the per-type mean by more than
+# Z_NUM/Z_DEN population standard deviations. 1.5 sigma (not the
+# production-usual 3) because the fixture's value distribution is
+# uniform: |z| never exceeds sqrt(3) ~ 1.73 on uniform data, so a
+# 3-sigma gate would certify an always-empty result. The threshold is a
+# constant; the SHAPE (one combinable moment aggregate + broadcast
+# join-back + per-row integer test) is what scales.
+Z_NUM, Z_DEN = 3, 2
+
+
+@query(
+    "q_anomaly_zscore",
+    f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               {_CENTS.format(col='value')} AS cents
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM ev GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type,
+               s // n AS mean_c,
+               (ss // n) - (s // n) * (s // n) AS var_cc
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           e.cents - m.mean_c AS dev_c,
+           ((e.cents - m.mean_c) * (e.cents - m.mean_c) * 1000000)
+               // m.var_cc AS z2_ppm
+    FROM ev e JOIN m ON m.event_type = e.event_type
+    WHERE m.var_cc > 0
+      AND {Z_DEN * Z_DEN} * (e.cents - m.mean_c) * (e.cents - m.mean_c)
+            > {Z_NUM * Z_NUM} * m.var_cc
+    """,
+    doc="Per-event-type z-score anomaly flags, exact-integer variant: "
+    "value -> cents (floor x100, bit-deterministic on identical "
+    "doubles), per-type moments n / sum / sum-of-squares in one "
+    "combinable aggregate, then mean_c = s div n and var_cc = "
+    "(ss div n) - mean_c^2 via FLOORED integer division (the floored-"
+    "moment z^2 test: both engines floor identically, so the flag "
+    "cannot drift at a boundary the way float sqrt/stddev can), and "
+    "flag = DEN^2*dev^2 > NUM^2*var_cc, i.e. |z| > 1.5 cross-"
+    "multiplied so no division appears in the predicate at all. "
+    "z2_ppm reports the squared z-score in ppm for ranking. "
+    "100 TB shape: the moment aggregate is map-side combinable on a "
+    "low-cardinality key (event types, not rows or users — the stats "
+    "frame stays KB-sized at any corpus scale, hence the broadcast "
+    "join-back), the per-row test is pure codegen, and nothing else "
+    "shuffles. Magnitude bound: cents <= ~5e4 so cents^2 <= 2.5e9; "
+    "ss stays in BIGINT up to ~3e9 rows per type — beyond that, cast "
+    "the two sums to DECIMAL(38,0) (the comparison itself never "
+    "exceeds 9 * var_cc <= ~2.2e10). Extra: certified by the pytest "
+    "oracle gate.",
+    tags=("events", "analytics"),
+    extra=True,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            _cents("value").alias("cents"),
+        )
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    m = stats.select(
+        "event_type",
+        F.expr("s div n").alias("mean_c"),
+        F.expr("(ss div n) - (s div n) * (s div n)").alias("var_cc"),
+    )
+    dev = F.col("cents") - F.col("mean_c")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(
+            (F.col("var_cc") > 0)
+            & (F.lit(Z_DEN * Z_DEN) * dev * dev > F.lit(Z_NUM * Z_NUM) * F.col("var_cc"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            dev.alias("dev_c"),
+            F.expr(
+                "((cents - mean_c) * (cents - mean_c) * 1000000) div var_cc"
+            ).alias("z2_ppm"),
+        )
+    )

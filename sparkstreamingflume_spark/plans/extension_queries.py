@@ -3814,12 +3814,19 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    # Pre-aggregate to DISTINCT tokens before hashing: the sketch cell
+    # counts are identical whether built from raw occurrences or from
+    # (token, occurrence-count) pairs, but the D md5-derived hashes are
+    # computed |vocab| times instead of |token stream| times — on a
+    # natural-language corpus that is a ~10-50x cut in hash work, and
+    # the groupBy("tok") that buys it is itself map-side combinable.
+    tokcnt = tok.groupBy("tok").agg(F.count("*").alias("tcnt"))
     sketch = (
-        tok.select(F.posexplode(buckets()).alias("d", "bucket"))
+        tokcnt.select("tcnt", F.posexplode(buckets()).alias("d", "bucket"))
         .groupBy("d", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("tcnt").alias("cnt"))
     )
-    tot = tok.agg(F.count("*").alias("n_tok"))
+    tot = tokcnt.agg(F.sum("tcnt").alias("n_tok"))
     probe = (
         tok.filter(F.col("doc_id") < CMS_PROBE_DOCS).select("tok").distinct()
     )

@@ -61,6 +61,14 @@ EXTRA_QUERIES = (
     "q_dsir_weight",
     "q_resample_locf",
     "q_resample_interp",
+    # closing round-7: the sketch/search/sampling family — the CMS
+    # sketch's fixed-width combine and the two TakeOrderedAndProject
+    # top-k plans should all scale sublinearly; the anomaly moment agg
+    # is the shape most sensitive to a lost broadcast
+    "q_heavy_hitters_cms",
+    "q_bm25_search",
+    "q_sample_weighted",
+    "q_anomaly_zscore",
 )
 
 

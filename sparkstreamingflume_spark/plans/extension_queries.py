@@ -3952,3 +3952,149 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bm25_ppm").cast("long").alias("bm25_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level overlap estimation (mergeable per-group MinHash)
+# ---------------------------------------------------------------------------
+
+_OVL_MATCH_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN x.s{j} = y.s{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_corpus_overlap",
+    f"""
+    WITH sh0 AS (
+        SELECT source, unnest({_SH}) AS s FROM documents
+        WHERE len({_TOK}) >= 3
+    ),
+    hashed AS (SELECT source, {h32_sql('s')} AS h FROM sh0),
+    sigs AS (SELECT source, {_SIG_SQL_COLS} FROM hashed GROUP BY source)
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST({_OVL_MATCH_SQL} AS BIGINT) AS n_match,
+           CAST({_OVL_MATCH_SQL} * {1_000_000 // N_PERM} AS BIGINT)
+               AS jaccard_est_ppm
+    FROM sigs x JOIN sigs y ON x.source < y.source
+    """,
+    doc="Pairwise corpus-overlap estimates between document SOURCES via "
+    "per-group MinHash signatures (Broder 1997 applied at corpus "
+    "granularity — the data-curation question 'how much does crawl "
+    "snapshot A overlap snapshot B' answered without any pair of "
+    "documents ever meeting). MinHash of a set union is the "
+    "component-wise min over members, so each source's {P}-component "
+    "signature over its shingle-set union is ONE combinable min-agg; "
+    "the estimated Jaccard between two sources is the fraction of "
+    "equal components, emitted as exact integer ppm (matches * "
+    "{PPM_STEP}) — the estimate itself is deterministic, so the "
+    "oracle reproduces it bit-for-bit with the shared affine "
+    "permutation family. 100 TB shape: the shingle explode feeds a "
+    "map-side-combinable min per (source, perm) — the shuffle moves "
+    "|sources| x {P} longs, not shingles; the all-pairs comparison "
+    "runs on a KB-sized broadcast frame (BroadcastNestedLoopJoin over "
+    "|sources|^2 rows of an aggregate — vetted, the input is "
+    "sketch-sized regardless of corpus size). Signatures are also "
+    "MERGEABLE across ingest days: min of daily mins — the same "
+    "incremental shape as the CMS sketch. Extra: certified by the "
+    "pytest oracle gate.".format(P=N_PERM, PPM_STEP=1_000_000 // N_PERM),
+    tags=("dedup", "sketch", "pipeline"),
+    extra=True,
+)
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
+    sh = d.select("source", F.explode(shingles("text")).alias("s"))
+    hashed = sh.select("source", h32(F.col("s")).alias("h"))
+    sigs = hashed.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + c) % _MH_P).alias(f"s{j}")
+            for j, (a, c) in enumerate(_MH_AC)
+        ]
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    matches = None
+    for j in range(N_PERM):
+        eq = (F.col(f"x.s{j}") == F.col(f"y.s{j}")).cast("long")
+        matches = eq if matches is None else matches + eq
+    return (
+        x.join(F.broadcast(y), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            matches.alias("n_match"),
+            (matches * (1_000_000 // N_PERM)).alias("jaccard_est_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (segmented posting lists)
+# ---------------------------------------------------------------------------
+
+IDX_SEG_W = 100  # doc-id width of one posting segment
+
+
+@query(
+    "q_inverted_index",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOK})) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS (SELECT term, doc_id // {IDX_SEG_W} AS seg, doc_id FROM tok),
+    posting AS (
+        SELECT term, seg, CAST(count(*) AS BIGINT) AS seg_df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings
+        FROM seg GROUP BY term, seg
+    )
+    SELECT term, seg, seg_df,
+           CAST(sum(seg_df) OVER (PARTITION BY term) AS BIGINT) AS df,
+           postings
+    FROM posting
+    """,
+    doc="Inverted-index build with SEGMENTED posting lists: one sorted "
+    "doc-id posting row per (term, doc-id-segment of width "
+    "{W}) plus segment-local and corpus-wide document frequencies. "
+    "The naive one-row-per-term index is a scale hazard twice over — "
+    "a stopword's posting array is |corpus|-sized (single-row OOM) "
+    "and its group is one reducer key (shuffle skew); segmenting by "
+    "doc-id range bounds every posting row and every group at {W} "
+    "entries no matter how common the term, which is how Lucene-style "
+    "engines shard postings. Per-doc term dedup happens MAP-SIDE "
+    "(array_distinct before the explode — a (term, doc) pair exists "
+    "at most once per doc, so no distinct shuffle is needed), leaving "
+    "one groupBy(term, seg) exchange; the term-level df is a window "
+    "over the already-aggregated (term, seg) frame, vocabulary-sized, "
+    "not corpus-sized. Postings emit as a comma-joined string so the "
+    "cross-engine value hash sees identical scalars. Extra: certified "
+    "by the pytest oracle gate.".format(W=IDX_SEG_W),
+    tags=("text", "search", "pipeline"),
+    extra=True,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    posting = (
+        tok.withColumn("seg", F.expr(f"doc_id div {IDX_SEG_W}"))
+        .groupBy("term", "seg")
+        .agg(
+            F.count("*").alias("seg_df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    return posting.select(
+        "term",
+        "seg",
+        "seg_df",
+        F.sum("seg_df").over(Window.partitionBy("term")).alias("df"),
+        "postings",
+    )

@@ -69,6 +69,11 @@ EXTRA_QUERIES = (
     "q_bm25_search",
     "q_sample_weighted",
     "q_anomaly_zscore",
+    # the index/overlap pair: posting-list build (segment-bounded
+    # collect_list) and the per-source MinHash union sketch (shingle
+    # explode into a 16-min combinable agg + BNLJ over the aggregate)
+    "q_inverted_index",
+    "q_corpus_overlap",
 )
 
 

@@ -137,3 +137,25 @@ def minhash_bands(d, id_col: str = "doc_id", text_col: str = "text"):
     return sigs.select(
         id_col, F.posexplode(F.array(*band_hashes)).alias("b", "band_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch bucket columns (shared by the batch heavy-hitters query
+# q_heavy_hitters_cms, its DuckDB oracle, and the streaming sketch sink —
+# one construction, so stream == batch is bit-identical by design)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # sketch depth (independent hash rows)
+CMS_W = 256  # sketch width (buckets per row)
+
+
+def cms_buckets(tok: Column | str) -> Column:
+    """The CMS_D bucket ids of one token: salted h32 per sketch row
+    (``'cms<d>:<tok>'``), mod CMS_W — posexplode to (d, bucket) pairs."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    return F.array(
+        *[
+            h32(F.concat(F.lit(f"cms{i}:"), c)) % CMS_W
+            for i in range(CMS_D)
+        ]
+    )

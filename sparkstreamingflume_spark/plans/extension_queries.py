@@ -26,10 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sparkstreamingflume_spark.functions.text import (
+    CMS_D,
+    CMS_W,
     MH_AC as _MH_AC,
     MH_P as _MH_P,
     N_BANDS,
     N_PERM,
+    cms_buckets,
     h32,
     h32_sql,
     minhash_bands as _minhash_bands,
@@ -3737,8 +3740,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CMS_D = 4  # sketch depth (independent hash rows)
-CMS_W = 256  # sketch width (buckets per row)
+# CMS_D / CMS_W (sketch depth / width) and the salted bucket builder are
+# imported from functions.text — the streaming sketch sink
+# (streaming/sketch.py) shares the exact construction, which is what
+# makes its stream == batch parity bit-identical rather than tested-for.
 HH_PPM = 20_000  # heavy = estimated count >= 2% of the token stream
 CMS_PROBE_DOCS = 10  # probe vocabulary: distinct tokens of doc_id < 10
 
@@ -3807,12 +3812,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
 
     def buckets() -> F.Column:
-        return F.array(
-            *[
-                h32(F.concat(F.lit(f"cms{i}:"), F.col("tok"))) % CMS_W
-                for i in range(CMS_D)
-            ]
-        )
+        return cms_buckets("tok")
 
     # Pre-aggregate to DISTINCT tokens before hashing: the sketch cell
     # counts are identical whether built from raw occurrences or from

@@ -1,0 +1,219 @@
+"""Streaming Count-Min heavy hitters — the streaming twin of
+``q_heavy_hitters_cms``.
+
+A CMS is a MERGEABLE summary: the sketch of a token stream is the
+cell-wise SUM of per-batch sketches, so a continuously-ingesting corpus
+never re-counts the world — each micro-batch contributes its own
+``CMS_D x CMS_W`` increment (built with the exact construction the batch
+query and its DuckDB oracle certify: ``functions.text.cms_buckets``),
+and any probe vocabulary can be estimated at any time from the summed
+cells. Per-batch cost is O(|batch|); the persisted state is at most
+``CMS_D * CMS_W + 1`` cells per batch regardless of corpus size.
+
+Index layout (plain parquet dirs — the sketch is itself a queryable
+Spark table and survives restarts with the checkpoint):
+
+* ``<index_dir>/delta`` — per-batch increments ``(d, bucket, cnt,
+  batch_id)``; the stream-length total rides along as the sentinel cell
+  ``d = -1, bucket = -1``.
+* ``<index_dir>/base`` — the folded sketch ``(d, bucket, cnt, wm)``
+  written by :func:`compact_sketch`; ``wm`` is the fold watermark (the
+  largest batch_id whose increment is included).
+
+Idempotency: a batch's increment is a DETERMINISTIC function of its
+rows, so a replayed batch appends a bit-identical delta; reads collapse
+duplicates by taking one increment per ``(batch_id, d, bucket)``. The
+counter index needs one rule the set-valued near-dup index
+(``streaming/neardup.py``) does not: after compaction, a replayed
+ALREADY-FOLDED batch must not be added again — duplicate rows in a SET
+are harmless, duplicate increments in a COUNTER double-count. Hence the
+watermark: reads take ``base`` plus only deltas with
+``batch_id > wm``; a replay of batch ``n <= wm`` appends a delta that
+every subsequent read ignores.
+
+The reference never maintained cross-batch aggregates (its DStream
+counters reset per batch); capability extension (SURVEY.md §2
+LLM-pipeline track).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.functions.text import cms_buckets, tokens
+from sparkstreamingflume_spark.streaming.neardup import (
+    _hadoop_fs,
+    _read_index,
+)
+
+DELTA_SCHEMA = "d int, bucket long, cnt long, batch_id long"
+BASE_SCHEMA = "d int, bucket long, cnt long, wm long"
+TOTAL_D = -1  # sentinel cell carrying the token-stream length
+
+
+def _increment(batch: DataFrame, text_col: str) -> DataFrame:
+    """(d, bucket, cnt) sketch increment for one micro-batch, plus the
+    TOTAL_D sentinel row. Same distinct-tokens-first shape as the batch
+    query: hash |batch vocab| * D tokens, not |batch stream| * D."""
+    tokcnt = (
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    cells = (
+        tokcnt.select(
+            "tcnt", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("tcnt").alias("cnt"))
+    )
+    total = tokcnt.agg(
+        F.coalesce(F.sum("tcnt"), F.lit(0)).cast("long").alias("cnt")
+    ).select(
+        F.lit(TOTAL_D).cast("int").alias("d"),
+        F.lit(-1).cast("long").alias("bucket"),
+        "cnt",
+    )
+    return cells.select("d", "bucket", "cnt").unionByName(total)
+
+
+def cms_update_batch(
+    batch: DataFrame, batch_id: int, index_dir: str, text_col: str = "text"
+) -> None:
+    """foreachBatch callback: append this batch's sketch increment.
+
+    An empty (or all-NULL-text) batch still appends its zero sentinel
+    row — a deliberate marker that the batch was processed, and a no-op
+    for every estimate.
+    """
+    (
+        _increment(batch, text_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(f"{index_dir}/delta")
+    )
+
+
+def attach_cms(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Wire a streaming doc frame through the sketch sink."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: cms_update_batch(b, i, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def read_sketch(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged sketch: (d, bucket, cnt) summed over base + fresh
+    deltas. Everything stays distributed — the watermark is applied via
+    a broadcast single-row join, and replayed deltas collapse through a
+    per-(batch_id, d, bucket) max (increments are deterministic, so
+    duplicates are bit-identical)."""
+    base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
+    delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
+    wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
+    fresh = (
+        delta.join(F.broadcast(wm), F.col("batch_id") > F.col("wm"))
+        .groupBy("batch_id", "d", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return (
+        base.select("d", "bucket", "cnt")
+        .unionByName(fresh.select("d", "bucket", "cnt"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def heavy_hitters(
+    spark: SparkSession,
+    index_dir: str,
+    probe: DataFrame,
+    hh_ppm: int = 20_000,
+) -> DataFrame:
+    """Point estimates for a probe vocabulary against the live sketch —
+    the streaming counterpart of q_heavy_hitters_cms's output (tok, est,
+    heavy). ``probe`` is a frame with a ``tok`` column; ``hh_ppm``
+    defaults to the batch query's HH_PPM."""
+    sk = read_sketch(spark, index_dir)
+    cells = sk.filter(F.col("d") >= 0)
+    tot = sk.filter(F.col("d") == TOTAL_D).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tok")
+    )
+    pb = probe.select(
+        "tok", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
+    )
+    return (
+        pb.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") * 1_000_000 >= F.col("n_tok") * hh_ppm).alias(
+                "heavy"
+            ),
+        )
+    )
+
+
+def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
+    """Fold all deltas into ``base`` and advance the watermark.
+
+    Per-batch appends accumulate one small file per batch; folding
+    rewrites the state to at most ``CMS_D * CMS_W + 1`` cells. The swap
+    protocol (recover-first, tmp write, rename) and its crash windows
+    are the ones :func:`streaming.neardup.compact_index` documents, via
+    the same Hadoop FileSystem API (FS-agnostic). Order matters for the
+    one crash window that differs: the new base (covering deltas up to
+    the new watermark) is swapped in BEFORE the folded deltas are
+    deleted, so a crash between the two leaves base + still-present
+    deltas <= wm — which every read already ignores. Returns
+    {rows_before, rows_after, wm} or {} when there is nothing to fold.
+    """
+    fs, jroot = _hadoop_fs(spark, index_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    base_p, delta_p = f"{index_dir}/base", f"{index_dir}/delta"
+    jbase, jdelta = jvm_path(base_p), jvm_path(delta_p)
+    jold = jvm_path(f"{index_dir}/.base_old")
+    # sweep tmp dirs leaked by a fold that crashed mid-write
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            if st.getPath().getName().startswith(".base_compact_"):
+                fs.delete(st.getPath(), True)
+    # recover a crashed swap: old-with-no-live => rename back; else drop
+    if fs.exists(jold):
+        if fs.exists(jbase):
+            fs.delete(jold, True)
+        else:
+            fs.rename(jold, jbase)
+    if not fs.exists(jdelta):
+        return {}
+    delta = _read_index(spark, delta_p, DELTA_SCHEMA)
+    base = _read_index(spark, base_p, BASE_SCHEMA)
+    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
+    hi = delta.filter(F.col("batch_id") > wm_old).agg(
+        F.max("batch_id")
+    ).first()[0]
+    if hi is None:
+        return {}
+    rows_before = delta.count() + base.count()
+    folded = read_sketch(spark, index_dir).withColumn(
+        "wm", F.lit(int(hi)).cast("long")
+    )
+    tmp = f"{index_dir}/.base_compact_tmp"
+    # the folded sketch is <= CMS_D * CMS_W + 1 rows — one file
+    folded.repartition(1).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if fs.exists(jbase):
+        fs.rename(jbase, jold)
+    fs.rename(jvm_path(tmp), jbase)
+    fs.delete(jold, True)
+    # all deltas are now covered by (or older than) the new watermark
+    fs.delete(jdelta, True)
+    return {"rows_before": rows_before, "rows_after": rows_after, "wm": hi}

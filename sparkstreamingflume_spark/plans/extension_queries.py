@@ -1141,12 +1141,10 @@ _COS_RC = (
     " / (r.norm * c.cnorm))"
 )
 
-
-@query(
-    "q_dedup_embed_cosine",
-    f"""
-    WITH e AS ({_EMB_SQL}),
-    kf AS (SELECT greatest(8, CAST(ceil(count(*) / {EMB_TARGET_CELL}.0)
+# Exact-dup collapse (min-id rep per ppm vector signature) + adaptive-K
+# centroid assignment — the shared scaffolding of q_dedup_embed_cosine
+# and q_knn_graph (both oracles; the Spark twin is _adaptive_cells).
+_ADAPTIVE_CELLS_CTES = f"""kf AS (SELECT greatest(8, CAST(ceil(count(*) / {EMB_TARGET_CELL}.0)
                                    AS BIGINT)) AS k FROM e),
     reps AS (
         SELECT vec_id, emb, norm FROM (
@@ -1169,40 +1167,13 @@ _COS_RC = (
                                 c.centroid_id) AS rn
             FROM reps r, cents c
         ) WHERE rn = 1
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST({_COS_PPM} AS BIGINT) AS cos_ppm
-    FROM cells a JOIN cells b
-      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-    WHERE {_COS_PPM} >= 350000
-    """,
-    doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale "
-    "path): exact-duplicate vector VALUES are first collapsed to their "
-    "min-id representative (the ppm-signature window; copy-sets stay "
-    "fully recoverable via q_dedup_embed_exact — the same exact-first-"
-    "then-near production order as the text family), then "
-    "representatives are assigned to their nearest of K centroids and "
-    "pairs are generated ONLY within a cell — an equi-join on "
-    "centroid_id, never the |corpus|² all-pairs inequality join (which "
-    "Spark must execute as a nested-loop; plan-asserted hash-join-only "
-    "by tests/test_contract.py). K ADAPTS to the corpus "
-    "(max(8, n/500), computed in-plan from one count and "
-    "broadcast): bounded ~500-member cells make total "
-    "pair work LINEAR in n where the earlier fixed K=8 grew |cell|² — "
-    "the 10× probe measured 22× before this landed. Below 4000 vectors "
-    "K pins to q_embed_ivf's 8 seed centroids, so fixture rows are "
-    "unchanged. The collapse bounds mass duplication the same way: 10k "
-    "copies cost one representative row (hot-vector fixture in "
-    "tests/test_dedup_skew.py). Recall vs the exact all-pairs form "
-    "(extra q_dedup_embed_cosine_bruteforce) is pinned by "
-    "tests/test_approx.py; at 100 TB the corpus is bucketed by "
-    "centroid_id so each cell's pairs are partition-local, and past "
-    "the point where K×dim outgrows a comfortable broadcast (~10⁷ "
-    "vectors) the banded-LSH path (q_dedup_embed_lsh, BUCKET_CEIL-"
-    "capped, cosine-verified) is the pair generator of record.",
-    tags=("dedup", "similarity"),
-)
-def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, norm, centroid_id): exact-dup-collapsed
+    representatives assigned to their nearest of max(8, n/TARGET_CELL)
+    centroids — the Spark twin of _ADAPTIVE_CELLS_CTES."""
     e = _emb_norm(spark, sf_dir)
     vw = Window.partitionBy(_vec_sig()).orderBy("vec_id")
     reps = (
@@ -1238,7 +1209,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("centroid_id")
     )
-    cells = (
+    return (
         reps.alias("r")
         .crossJoin(F.broadcast(cents.alias("c")))
         .select(
@@ -1252,6 +1223,47 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", "norm", "centroid_id")
     )
+
+
+@query(
+    "q_dedup_embed_cosine",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    {_ADAPTIVE_CELLS_CTES}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({_COS_PPM} AS BIGINT) AS cos_ppm
+    FROM cells a JOIN cells b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_COS_PPM} >= 350000
+    """,
+    doc="Embedding-cosine near-dup pairs, IVF-cell-gated (the scale "
+    "path): exact-duplicate vector VALUES are first collapsed to their "
+    "min-id representative (the ppm-signature window; copy-sets stay "
+    "fully recoverable via q_dedup_embed_exact — the same exact-first-"
+    "then-near production order as the text family), then "
+    "representatives are assigned to their nearest of K centroids and "
+    "pairs are generated ONLY within a cell — an equi-join on "
+    "centroid_id, never the |corpus|² all-pairs inequality join (which "
+    "Spark must execute as a nested-loop; plan-asserted hash-join-only "
+    "by tests/test_contract.py). K ADAPTS to the corpus "
+    "(max(8, n/500), computed in-plan from one count and "
+    "broadcast): bounded ~500-member cells make total "
+    "pair work LINEAR in n where the earlier fixed K=8 grew |cell|² — "
+    "the 10× probe measured 22× before this landed. Below 4000 vectors "
+    "K pins to q_embed_ivf's 8 seed centroids, so fixture rows are "
+    "unchanged. The collapse bounds mass duplication the same way: 10k "
+    "copies cost one representative row (hot-vector fixture in "
+    "tests/test_dedup_skew.py). Recall vs the exact all-pairs form "
+    "(extra q_dedup_embed_cosine_bruteforce) is pinned by "
+    "tests/test_approx.py; at 100 TB the corpus is bucketed by "
+    "centroid_id so each cell's pairs are partition-local, and past "
+    "the point where K×dim outgrows a comfortable broadcast (~10⁷ "
+    "vectors) the banded-LSH path (q_dedup_embed_lsh, BUCKET_CEIL-"
+    "capped, cosine-verified) is the pair generator of record.",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _adaptive_cells(spark, sf_dir)
     a, b = cells.alias("a"), cells.alias("b")
     return (
         a.join(
@@ -4098,3 +4110,69 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seg_df").over(Window.partitionBy("term")).alias("df"),
         "postings",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph build (the SemDeDup / diversification primitive)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5  # neighbors kept per vector
+
+
+@query(
+    "q_knn_graph",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    {_ADAPTIVE_CELLS_CTES}
+    SELECT q_id, nbr_id, cos_ppm, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+               CAST({_COS_PPM} AS BIGINT) AS cos_ppm,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, b.vec_id) AS rn
+        FROM cells a JOIN cells b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    ) t WHERE rn <= {KNN_K}
+    """,
+    doc="k-NN graph over the embedding corpus: EVERY vector gets its "
+    "top-{K} cosine neighbors — the primitive under SemDeDup-style "
+    "semantic dedup, diversity selection, and label propagation, "
+    "distinct from the probe-set searches (q_embed_topk and the IVF "
+    "family score a fixed handful of queries; here every vector is a "
+    "query, so the naive form is the full O(n²) similarity matrix). "
+    "Scale shape: the same exact-dup collapse + adaptive-K cell gating "
+    "as q_dedup_embed_cosine (shared _ADAPTIVE_CELLS_CTES / "
+    "_adaptive_cells scaffolding) — ~{T}-member cells keep within-cell "
+    "all-pairs LINEAR in n (n*{T} scored pairs total), the equi-join "
+    "on centroid_id is hash-partitionable so each cell's neighborhood "
+    "is computed partition-locally, and the per-vector top-{K} is a "
+    "bounded row_number window inside the cell. Copy-sets are "
+    "collapsed to their min-id representative FIRST (a 10k-copy hot "
+    "vector would otherwise fill its own neighbor list and its cell's "
+    "quadratic budget); the rep's neighbor list stands for every copy, "
+    "with membership recoverable via q_dedup_embed_exact — the "
+    "exact-first-then-near order the text family certifies. Edge "
+    "recall vs the uncelled exact graph is pinned by "
+    "tests/test_approx.py. Extra: certified by the pytest oracle "
+    "gate.".format(K=KNN_K, T=EMB_TARGET_CELL),
+    tags=("similarity", "pipeline"),
+    extra=True,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _adaptive_cells(spark, sf_dir)
+    a, b = cells.alias("a"), cells.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        _cos_ppm().cast("long").alias("cos_ppm"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("nbr_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= KNN_K)

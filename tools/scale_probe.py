@@ -74,6 +74,10 @@ EXTRA_QUERIES = (
     # explode into a 16-min combinable agg + BNLJ over the aggregate)
     "q_inverted_index",
     "q_corpus_overlap",
+    # every-vector neighbor graph: the n x TARGET_CELL within-cell join
+    # is the repo's largest deliberate workload — the ratio gate is what
+    # proves the adaptive-K cells hold it linear
+    "q_knn_graph",
 )
 
 

@@ -64,6 +64,14 @@ def main() -> None:
         # regardless of row count (Arrow+Python round-trip per group set
         # + RocksDB commit) — 20 s absorbs it, same bar as the joins
         "scd2": 20,
+        # cms appends <= 1025 sketch cells per batch — the floor is one
+        # combinable agg + a KB parquet write + checkpoint commit, far
+        # lighter than neardup's index probes; 5 s amortizes it. The
+        # compact variant runs the fold inside foreachBatch (~0.8-1 s
+        # steady, ~4 s on the first, JVM-cold one), so it gets the same
+        # 10 s bar as neardup's in-loop compaction
+        "cms": 5,
+        "cms_compact": 10,
     }.get(mode, 2)
 
     from pyspark.sql import functions as F
@@ -250,6 +258,72 @@ def main() -> None:
             ).alias("event_type"),
         )
         transformed = regime_history(events, id_col="event_id", timeout_s=3600)
+    elif mode in ("cms", "cms_compact"):
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import sketch as SK
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_cms_")
+        # 16 tokens per row: 30% drawn from a 10-word hot head (each
+        # ~3% of the stream — above the 2% heavy bar), 70% from an
+        # effectively-unbounded cold tail — the skewed shape a
+        # heavy-hitter sketch exists for, and the worst case for any
+        # exact counter (the cold vocabulary grows with the stream
+        # while the sketch stays 1025 cells)
+        toks = []
+        for i in range(16):
+            mix = (F.col("value") * (2 * i + 3)) % 10
+            # additive shift, not a multiplier: value*k % 10 collapses
+            # to a subgroup whenever k shares a factor with 10, which
+            # starves half the hot vocabulary
+            hot = F.concat(
+                F.lit("h"), ((F.col("value") + i) % 10).cast("string")
+            )
+            cold = F.concat(
+                F.lit("c"), (F.col("value") * 16 + i).cast("string")
+            )
+            toks.append(F.when(mix < 3, hot).otherwise(cold))
+        docs = rate.select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _sketch_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/delta/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/base/*.parquet")
+            )
+
+        def _cms_cb(b, bid):
+            SK.cms_update_batch(b, bid, ix_dir)
+            # same sanctioned slot as neardup_compact: between batches,
+            # from the foreachBatch thread itself
+            if mode == "cms_compact" and bid > 0 and bid % compact_every == 0:
+                files_before = _sketch_files()
+                t0 = time.time()
+                st = SK.compact_sketch(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _sketch_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            docs.writeStream.foreachBatch(_cms_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
@@ -369,6 +443,27 @@ def main() -> None:
             ).fetchone()[0]
             if mode == "neardup_compact":
                 out["index_files_final"] = _index_files()
+                out["compactions"] = compactions
+        elif mode in ("cms", "cms_compact"):
+            from sparkstreamingflume_spark.streaming import sketch as SK
+
+            # end-of-run estimate sanity: every hot token (~3% of the
+            # stream each) must flag heavy; a cold singleton must not
+            probe = spark.createDataFrame(
+                [(f"h{i}",) for i in range(10)] + [("c17",)], "tok string"
+            )
+            hh = {
+                r["tok"]: (r["est"], r["heavy"])
+                for r in SK.heavy_hitters(spark, ix_dir, probe).collect()
+            }
+            out["hot_flagged_heavy"] = sum(
+                1 for t, (_, h) in hh.items() if t.startswith("h") and h
+            )
+            out["cold_flagged_heavy"] = sum(
+                1 for t, (_, h) in hh.items() if t.startswith("c") and h
+            )
+            out["sketch_files_final"] = _sketch_files()
+            if mode == "cms_compact":
                 out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))

@@ -147,6 +147,7 @@ def minhash_bands(d, id_col: str = "doc_id", text_col: str = "text"):
 
 CMS_D = 4  # sketch depth (independent hash rows)
 CMS_W = 256  # sketch width (buckets per row)
+HH_PPM = 20_000  # heavy = estimated count >= 2% of the token stream
 
 
 def cms_buckets(tok: Column | str) -> Column:
@@ -158,4 +159,19 @@ def cms_buckets(tok: Column | str) -> Column:
             h32(F.concat(F.lit(f"cms{i}:"), c)) % CMS_W
             for i in range(CMS_D)
         ]
+    )
+
+
+def cms_cells(tokcnt) -> "DataFrame":  # noqa: F821 - forward ref
+    """(d, bucket, cnt) sketch cells from a (tok, tcnt) frame — the ONE
+    cell construction both the batch query and the streaming sink call,
+    so their sketches agree by construction. Hashing pre-aggregated
+    distinct tokens (|vocab| * D md5s, weighted by occurrence count)
+    yields cell sums bit-identical to hashing every occurrence."""
+    return (
+        tokcnt.select(
+            "tcnt", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("tcnt").alias("cnt"))
     )

@@ -28,11 +28,13 @@ from pyspark.sql.window import Window
 from sparkstreamingflume_spark.functions.text import (
     CMS_D,
     CMS_W,
+    HH_PPM,
     MH_AC as _MH_AC,
     MH_P as _MH_P,
     N_BANDS,
     N_PERM,
     cms_buckets,
+    cms_cells,
     h32,
     h32_sql,
     minhash_bands as _minhash_bands,
@@ -3752,11 +3754,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CMS_D / CMS_W (sketch depth / width) and the salted bucket builder are
-# imported from functions.text — the streaming sketch sink
-# (streaming/sketch.py) shares the exact construction, which is what
+# CMS_D / CMS_W / HH_PPM and the bucket + cell builders are imported
+# from functions.text — the streaming sketch sink (streaming/sketch.py)
+# shares the exact construction AND the heavy threshold, which is what
 # makes its stream == batch parity bit-identical rather than tested-for.
-HH_PPM = 20_000  # heavy = estimated count >= 2% of the token stream
 CMS_PROBE_DOCS = 10  # probe vocabulary: distinct tokens of doc_id < 10
 
 _CMS_DIMS = f"(SELECT unnest(generate_series(0, {CMS_D - 1})) AS d)"
@@ -3822,27 +3823,19 @@ def _cms_bucket_sql(tok_expr: str) -> str:
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-
-    def buckets() -> F.Column:
-        return cms_buckets("tok")
-
-    # Pre-aggregate to DISTINCT tokens before hashing: the sketch cell
-    # counts are identical whether built from raw occurrences or from
-    # (token, occurrence-count) pairs, but the D md5-derived hashes are
-    # computed |vocab| times instead of |token stream| times — on a
-    # natural-language corpus that is a ~10-50x cut in hash work, and
-    # the groupBy("tok") that buys it is itself map-side combinable.
+    # Pre-aggregate to DISTINCT tokens before hashing (see cms_cells:
+    # |vocab| * D md5s instead of |token stream| * D, cell sums
+    # identical); the groupBy("tok") that buys it is itself map-side
+    # combinable. cms_cells is the SAME builder the streaming sink uses.
     tokcnt = tok.groupBy("tok").agg(F.count("*").alias("tcnt"))
-    sketch = (
-        tokcnt.select("tcnt", F.posexplode(buckets()).alias("d", "bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.sum("tcnt").alias("cnt"))
-    )
+    sketch = cms_cells(tokcnt)
     tot = tokcnt.agg(F.sum("tcnt").alias("n_tok"))
     probe = (
         tok.filter(F.col("doc_id") < CMS_PROBE_DOCS).select("tok").distinct()
     )
-    pb = probe.select("tok", F.posexplode(buckets()).alias("d", "bucket"))
+    pb = probe.select(
+        "tok", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
+    )
     return (
         pb.join(F.broadcast(sketch), ["d", "bucket"])
         .groupBy("tok")
@@ -4151,8 +4144,13 @@ KNN_K = 5  # neighbors kept per vector
     "vector would otherwise fill its own neighbor list and its cell's "
     "quadratic budget); the rep's neighbor list stands for every copy, "
     "with membership recoverable via q_dedup_embed_exact — the "
-    "exact-first-then-near order the text family certifies. Edge "
-    "recall vs the uncelled exact graph is pinned by "
+    "exact-first-then-near order the text family certifies. Honest "
+    "edge case (mirrored in the oracle): a rep ALONE in its cell emits "
+    "no rows, and a j-member cell emits min(j-1, {K}) per vector — "
+    "single-probe IVF semantics; a consumer needing guaranteed degree "
+    "composes with the q_embed_ivf_multiprobe pattern (probe the "
+    "nearest NPROBE cells) rather than this query silently padding. "
+    "Edge recall vs the uncelled exact graph is pinned by "
     "tests/test_approx.py. Extra: certified by the pytest oracle "
     "gate.".format(K=KNN_K, T=EMB_TARGET_CELL),
     tags=("similarity", "pipeline"),

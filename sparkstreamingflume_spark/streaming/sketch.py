@@ -4,8 +4,9 @@
 A CMS is a MERGEABLE summary: the sketch of a token stream is the
 cell-wise SUM of per-batch sketches, so a continuously-ingesting corpus
 never re-counts the world — each micro-batch contributes its own
-``CMS_D x CMS_W`` increment (built with the exact construction the batch
-query and its DuckDB oracle certify: ``functions.text.cms_buckets``),
+``CMS_D x CMS_W`` increment (built by the SAME shared builders the
+batch query and its DuckDB oracle certify — ``functions.text.cms_cells``
+over ``cms_buckets`` — one implementation, not a hand-synced twin),
 and any probe vocabulary can be estimated at any time from the summed
 cells. Per-batch cost is O(|batch|); the persisted state is at most
 ``CMS_D * CMS_W + 1`` cells per batch regardless of corpus size.
@@ -41,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.functions.text import cms_buckets, tokens
+from sparkstreamingflume_spark.functions.text import (
+    HH_PPM,
+    cms_buckets,
+    cms_cells,
+    tokens,
+)
 from sparkstreamingflume_spark.streaming.neardup import (
     _hadoop_fs,
     _read_index,
@@ -62,13 +68,7 @@ def _increment(batch: DataFrame, text_col: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("tcnt"))
     )
-    cells = (
-        tokcnt.select(
-            "tcnt", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
-        )
-        .groupBy("d", "bucket")
-        .agg(F.sum("tcnt").alias("cnt"))
-    )
+    cells = cms_cells(tokcnt)
     total = tokcnt.agg(
         F.coalesce(F.sum("tcnt"), F.lit(0)).cast("long").alias("cnt")
     ).select(
@@ -133,12 +133,22 @@ def heavy_hitters(
     spark: SparkSession,
     index_dir: str,
     probe: DataFrame,
-    hh_ppm: int = 20_000,
+    hh_ppm: int = HH_PPM,
 ) -> DataFrame:
     """Point estimates for a probe vocabulary against the live sketch —
     the streaming counterpart of q_heavy_hitters_cms's output (tok, est,
     heavy). ``probe`` is a frame with a ``tok`` column; ``hh_ppm``
-    defaults to the batch query's HH_PPM."""
+    defaults to the batch query's HH_PPM (one shared constant).
+
+    Unlike the batch query — whose probe is drawn from the corpus, so
+    every cell it hashes to is populated — an ARBITRARY probe token can
+    hit cells no stream token ever incremented. Those cells hold an
+    implicit 0, and the CMS minimum must include them: hence the LEFT
+    join with a 0-coalesce, giving a never-seen token est = 0 /
+    heavy = false (an inner join would either drop the token or, worse,
+    take the min over only its colliding cells and inflate it to a hot
+    token's count).
+    """
     sk = read_sketch(spark, index_dir)
     cells = sk.filter(F.col("d") >= 0)
     tot = sk.filter(F.col("d") == TOTAL_D).agg(
@@ -148,9 +158,9 @@ def heavy_hitters(
         "tok", F.posexplode(cms_buckets("tok")).alias("d", "bucket")
     )
     return (
-        pb.join(F.broadcast(cells), ["d", "bucket"])
+        pb.join(F.broadcast(cells), ["d", "bucket"], "left")
         .groupBy("tok")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .crossJoin(F.broadcast(tot))
         .select(
             "tok",
@@ -201,6 +211,11 @@ def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
         F.max("batch_id")
     ).first()[0]
     if hi is None:
+        # every delta row is <= wm (replays of already-folded batches,
+        # whose counts base already carries): reads ignore them, but the
+        # files would otherwise accumulate forever on a stalled stream —
+        # reclaim them here rather than waiting for a future fold
+        fs.delete(jdelta, True)
         return {}
     rows_before = delta.count() + base.count()
     folded = read_sketch(spark, index_dir).withColumn(

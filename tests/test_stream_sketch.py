@@ -179,3 +179,47 @@ def test_attach_runs_as_real_stream(spark, tmp_path):
     # 6 tokens total; "spark" (4/6) is heavy at 2%, est >= exact count
     assert got["spark"][0] >= 4 and got["spark"][1] is True
     assert got["rare"][0] >= 1
+
+
+def test_unseen_probe_token_estimates_zero(spark, tmp_path):
+    """An arbitrary probe token that never occurred in the stream must
+    come back est=0 / heavy=false — its cells hold an implicit 0 and the
+    CMS min must include them (the inner-join form either dropped the
+    token or inflated it to a colliding hot token's count)."""
+    from sparkstreamingflume_spark.streaming.sketch import heavy_hitters
+
+    ix = tmp_path / "ix"
+    _feed(spark, ix, (17,))
+    probe = spark.createDataFrame(
+        [("zzz-never-in-any-fixture-doc",)], "tok string"
+    )
+    rows = heavy_hitters(spark, str(ix), probe).collect()
+    assert len(rows) == 1
+    assert rows[0]["est"] == 0 and rows[0]["heavy"] is False
+
+
+def test_compact_reclaims_stale_replay_deltas(spark, tmp_path):
+    """A replay of an already-folded batch leaves a below-watermark
+    delta; the next compact call must reclaim it (delete the delta dir)
+    even though there is nothing new to fold, and parity must hold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.sketch import (
+        cms_update_batch,
+        compact_sketch,
+    )
+
+    ix = tmp_path / "ix"
+    docs = load_table(spark, SF, "documents")
+    cms_update_batch(docs.filter(F.col("doc_id") < 17), 0, str(ix))
+    cms_update_batch(docs.filter(F.col("doc_id") >= 17), 1, str(ix))
+    assert compact_sketch(spark, str(ix))["wm"] == 1
+    # stale replay of folded batch 0
+    cms_update_batch(docs.filter(F.col("doc_id") < 17), 0, str(ix))
+    assert os.path.isdir(str(ix / "delta"))
+    assert compact_sketch(spark, str(ix)) == {}
+    assert not os.path.isdir(str(ix / "delta"))
+    assert _stream_output(spark, ix) == _batch_output(spark)

@@ -272,10 +272,14 @@ def main() -> None:
         # while the sketch stays 1025 cells)
         toks = []
         for i in range(16):
-            mix = (F.col("value") * (2 * i + 3)) % 10
-            # additive shift, not a multiplier: value*k % 10 collapses
-            # to a subgroup whenever k shares a factor with 10, which
-            # starves half the hot vocabulary
+            # mix reads the TENS digit, hot the UNITS digit: independent
+            # selectors, so each hot word gets exactly 3.0% of the
+            # stream. (Multiplicative variants like value*k % 10
+            # collapse to a subgroup when k shares a factor with 10, and
+            # same-digit additive variants correlate which slots go hot
+            # with which word they pick — both verified to skew shares
+            # to 1.9-5.0% per word.)
+            mix = (F.expr("value div 10") + 7 * i) % 10
             hot = F.concat(
                 F.lit("h"), ((F.col("value") + i) % 10).cast("string")
             )

@@ -4174,3 +4174,59 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle for training export
+# ---------------------------------------------------------------------------
+
+N_SHUF_SHARDS = 8  # export shards (a real run sizes this to the corpus)
+
+
+@query(
+    "q_shuffle_shards",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               {h32_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT doc_id, CAST(h % {N_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h % {N_SHUF_SHARDS}
+               ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="Deterministic global shuffle for training export: every doc "
+    "gets a salted-hash sort key, a shard = h mod {N}, and its "
+    "position within the shard — the (shard, pos) order is a "
+    "reproducible pseudorandom permutation of the corpus that is a "
+    "pure function of doc_id (independent of input partitioning, "
+    "arrival order, or cluster width — re-running the export after a "
+    "re-ingest yields the identical training order, which is what "
+    "makes a data-ablation comparable to its baseline). 100 TB shape: "
+    "NO global sort — one hash exchange on shard then a per-shard "
+    "sort, each shard sortable independently and written as its own "
+    "file sequence; shard count is the parallelism/sort-memory knob "
+    "(a real export sizes it so |corpus|/N fits a task's spill "
+    "budget, or adds a second split level inside the shard — same "
+    "pattern one level down). Companions: q_train_test_split assigns "
+    "growth-stable SPLITS, this assigns reproducible ORDER; q_seq_pack "
+    "then packs the ordered stream. Extra: certified by the pytest "
+    "oracle gate.".format(N=N_SHUF_SHARDS),
+    tags=("pipeline", "sampling"),
+    extra=True,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        h32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy(F.col("h") % N_SHUF_SHARDS).orderBy("h", "doc_id")
+    return d.select(
+        "doc_id",
+        (F.col("h") % N_SHUF_SHARDS).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

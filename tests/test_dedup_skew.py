@@ -268,3 +268,36 @@ def test_bucket_ceiling_bounds_embed_lsh_pairs(spark, tmp_path):
     cos = REGISTRY["q_dedup_embed_cosine"].build(spark, big)
     n_dup_cos = len(dup_pairs([tuple(r) for r in cos.collect()]))
     assert n_dup_cos == 0, n_dup_cos
+
+
+def test_knn_graph_bounded_under_mass_duplication(spark, tmp_path):
+    """q_knn_graph's exact-dup collapse is its mass-duplication defense:
+    200 identical vectors collapse to ONE min-id representative before
+    any cell pairing, so the copy-set contributes one neighbor list
+    (never 200 lists of each other, never a 200²-pair hot cell), total
+    output stays <= |reps| * K, and the oracle — which mirrors the
+    collapse — still hash-matches on this corpus."""
+    from sparkstreamingflume_spark.plans.extension_queries import KNN_K
+
+    sf = _hot_embedding_corpus(tmp_path, 200)
+    q = REGISTRY["q_knn_graph"]
+    df = q.build(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+
+    copy_qids = {r[0] for r in rows if r[0] >= 1000}
+    assert copy_qids == {1000}  # one rep speaks for the 200 copies
+    copy_nbrs = {r[1] for r in rows if r[1] >= 1000}
+    assert copy_nbrs <= {1000}  # and appears at most once per list
+    n_reps = 74 + 1
+    assert len(rows) <= n_reps * KNN_K
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        ocols, orows = duck_fetch(con, q.oracle)
+        problems = compare(df.columns, rows, ocols, orows)
+        assert not problems, problems
+    finally:
+        con.close()

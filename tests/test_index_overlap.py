@@ -197,3 +197,39 @@ def test_inverted_index_segment_bounds_posting_rows(spark, tmp_path):
     assert all(r["seg_df"] <= IDX_SEG_W for r in rows)
     assert all(len(r["postings"].split(",")) == r["seg_df"] for r in rows)
     assert all(r["df"] == 350 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic export shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_is_a_stable_permutation(spark):
+    """(shard, pos) must be a valid permutation — every doc exactly
+    once, per-shard positions contiguous from 1 — and bit-stable across
+    runs (it is a pure function of doc_id; that reproducibility is the
+    operator's reason to exist)."""
+    from collections import Counter
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        N_SHUF_SHARDS,
+    )
+    from sparkstreamingflume_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = REGISTRY["q_shuffle_shards"]
+    rows = sorted(tuple(r) for r in q.build(spark, sf).collect())
+    again = sorted(tuple(r) for r in q.build(spark, sf).collect())
+    assert rows == again
+
+    all_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf, "documents").select("doc_id").collect()
+    }
+    assert {r[0] for r in rows} == all_ids and len(rows) == len(all_ids)
+    per_shard = Counter(r[1] for r in rows)
+    assert set(per_shard) <= set(range(N_SHUF_SHARDS))
+    for shard, n in per_shard.items():
+        poss = sorted(r[2] for r in rows if r[1] == shard)
+        assert poss == list(range(1, n + 1)), shard

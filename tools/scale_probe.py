@@ -78,6 +78,8 @@ EXTRA_QUERIES = (
     # is the repo's largest deliberate workload — the ratio gate is what
     # proves the adaptive-K cells hold it linear
     "q_knn_graph",
+    # export shuffle: one hash exchange + per-shard sort, no global sort
+    "q_shuffle_shards",
 )
 
 

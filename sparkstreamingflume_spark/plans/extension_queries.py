@@ -4230,3 +4230,93 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % N_SHUF_SHARDS).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality gate (the conditional-probability upgrade of q_lm_score)
+# ---------------------------------------------------------------------------
+
+BG_MIN_MEAN_PPM = 32_700  # ~10th percentile of the fixture distribution
+
+_BG_SH = shingles_sql("text", 2)
+
+
+@query(
+    "q_lm_bigram",
+    f"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+        WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM tok0 GROUP BY tok),
+    voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    bg0 AS (
+        SELECT doc_id, unnest({_BG_SH}) AS bg FROM documents
+        WHERE text IS NOT NULL AND len({_TOK}) >= 2
+    ),
+    bgf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg0 GROUP BY bg),
+    scored AS (
+        SELECT b.doc_id,
+               ((f.c12 + 1) * 1000000) // (u.c1 + voc.v) AS ppm
+        FROM bg0 b
+        JOIN bgf f ON f.bg = b.bg
+        JOIN uni u ON u.tok = string_split(b.bg, ' ')[1], voc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm,
+           CAST(min(ppm) AS BIGINT) AS min_ppm,
+           CAST(CASE WHEN sum(ppm) // count(*) >= {BG_MIN_MEAN_PPM}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM quality gate — the conditional-probability upgrade of "
+    "the unigram q_lm_score (a CCNet-style KenLM filter is exactly this "
+    "construction at n=5 with Kneser-Ney; Laplace at n=2 keeps the "
+    "arithmetic integer-exact): each bigram instance is scored "
+    "(c(w1 w2) + 1) * 1e6 // (c(w1) + |V|) — add-one-smoothed "
+    "P(w2|w1) in ppm, floored integer division so both engines agree "
+    "to the bit where a libm log cannot — and a doc's score is the "
+    "integer mean, with the rarest transition as a companion signal "
+    "and a keep gate at the fixture's 10th percentile. A doc of "
+    "common words in an IMPROBABLE ORDER now scores low where the "
+    "unigram gate cannot see past the vocabulary. Spark shape: two "
+    "frequency tables (unigram, bigram), each ONE map-side-combinable "
+    "agg over its explode; |V| is a broadcast 1-row aggregate; scoring "
+    "re-joins bigram instances to both tables on token keys (hash "
+    "joins, broadcastable when the vocab fits) and the per-doc rollup "
+    "is combinable. Same frozen-reference-model reuse story at 100 TB "
+    "as q_lm_score, with the bigram table ~|corpus bigram vocab| rows. "
+    "Extra: certified by the pytest oracle gate.",
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tok0 = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    uni = tok0.groupBy("tok").agg(F.count("*").alias("c1"))
+    voc = uni.agg(F.count("*").alias("v"))
+    bg0 = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", F.explode(shingles("text", 2)).alias("bg")
+    )
+    bgf = bg0.groupBy("bg").agg(F.count("*").alias("c12"))
+    scored = (
+        bg0.withColumn("pre", F.split("bg", " ").getItem(0))
+        .join(bgf, "bg")
+        .join(uni.withColumnRenamed("tok", "pre"), "pre")
+        .crossJoin(F.broadcast(voc))
+        .withColumn("ppm", F.expr("((c12 + 1) * 1000000) div (c1 + v)"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("ppm").alias("sum_ppm"),
+        F.min("ppm").alias("min_ppm"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("sum_ppm div n_bigrams").cast("long").alias("mean_ppm"),
+        F.col("min_ppm").cast("long").alias("min_ppm"),
+        (F.expr("sum_ppm div n_bigrams") >= BG_MIN_MEAN_PPM)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -233,3 +233,55 @@ def test_shuffle_shards_is_a_stable_permutation(spark):
     for shard, n in per_shard.items():
         poss = sorted(r[2] for r in rows if r[1] == shard)
         assert poss == list(range(1, n + 1)), shard
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM gate
+# ---------------------------------------------------------------------------
+
+# 8 copies of the same sentence + one doc with the SAME unigrams in
+# reversed (improbable) order — the case the unigram gate cannot see.
+LM_DOCS = [(i, "alpha beta gamma delta", "s") for i in range(8)] + [
+    (100, "delta gamma beta alpha", "s")
+]
+
+
+def lm_bigram_reference(docs):
+    """Independent pure-Python rendering of the add-one bigram score."""
+    uni, bgf = {}, {}
+    for _, t, _ in docs:
+        toks = t.split(" ")
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bgf[(a, b)] = bgf.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for d, t, _ in docs:
+        toks = t.split(" ")
+        if len(toks) < 2:
+            continue
+        ppms = [
+            ((bgf[(a, b)] + 1) * 1_000_000) // (uni[a] + v)
+            for a, b in zip(toks, toks[1:])
+        ]
+        out[d] = (len(ppms), sum(ppms) // len(ppms), min(ppms))
+    return out
+
+
+def test_lm_bigram_matches_reference_and_penalizes_word_order(
+    spark, tmp_path
+):
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = _write_docs(tmp_path, LM_DOCS)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_ppm"], r["min_ppm"])
+        for r in REGISTRY["q_lm_bigram"].build(spark, sf).collect()
+    }
+    assert got == lm_bigram_reference(LM_DOCS)
+    # identical unigram content, improbable order -> strictly lower
+    # score than every normally-ordered copy (the unigram gate q_lm_score
+    # would score them identically)
+    assert got[100][1] < got[0][1]
+    assert got[100][2] < got[0][2]

@@ -80,6 +80,9 @@ EXTRA_QUERIES = (
     "q_knn_graph",
     # export shuffle: one hash exchange + per-shard sort, no global sort
     "q_shuffle_shards",
+    # bigram LM: two frequency-table builds + double token-key join —
+    # the heaviest of the quality-gate family
+    "q_lm_bigram",
 )
 
 

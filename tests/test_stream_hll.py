@@ -1,0 +1,206 @@
+"""Streaming portable HLL (streaming/hll.py).
+
+Certification is STREAM == BATCH: feed the certified events fixture
+through the foreachBatch callback in micro-batches and require the
+folded registers AND the estimates to be bit-identical to
+q_distinct_hll (whose own correctness the DuckDB oracle gate carries) —
+under different batch boundaries, under replay, and across compaction.
+The replay tests are stronger than the CMS twin's: max-merge is
+idempotent, so replays are safe BEFORE and AFTER compaction with no
+watermark to get wrong.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_est(spark):
+    """The certified batch query's estimates as {event_type: est_hll}."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    return {
+        r["event_type"]: r["est_hll"]
+        for r in REGISTRY["q_distinct_hll"].build(spark, SF).collect()
+    }
+
+
+def _batch_regs(spark):
+    """Registers the batch construction produces over the full fixture."""
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.hll import _register_increment
+
+    return sorted(
+        (r["event_type"], r["bucket"], r["r"])
+        for r in _register_increment(load_table(spark, SF, "events")).collect()
+    )
+
+
+def _stream_est(spark, index_dir):
+    from sparkstreamingflume_spark.streaming.hll import distinct_estimates
+
+    return {
+        r["event_type"]: r["est_hll"]
+        for r in distinct_estimates(spark, str(index_dir)).collect()
+    }
+
+
+def _stream_regs(spark, index_dir):
+    from sparkstreamingflume_spark.streaming.hll import read_registers
+
+    return sorted(
+        (r["event_type"], r["bucket"], r["r"])
+        for r in read_registers(spark, str(index_dir)).collect()
+    )
+
+
+def _feed(spark, index_dir, splits):
+    """Run the fixture through the callback in len(splits)+1 batches,
+    split on event_id at the given boundaries."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.hll import hll_update_batch
+
+    ev = load_table(spark, SF, "events")
+    bounds = [None, *splits, None]
+    for i in range(len(bounds) - 1):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("event_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("event_id") < bounds[i + 1])
+        hll_update_batch(part, i, str(index_dir))
+
+
+@pytest.mark.parametrize("splits", [(), (170,), (50, 230, 410)])
+def test_stream_equals_batch_under_any_batching(spark, tmp_path, splits):
+    ix = tmp_path / f"ix{len(splits)}"
+    _feed(spark, ix, splits)
+    assert _stream_regs(spark, ix) == _batch_regs(spark)
+    assert _stream_est(spark, ix) == _batch_est(spark)
+
+
+def test_replay_is_idempotent_without_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.hll import hll_update_batch
+
+    ix = tmp_path / "ix"
+    _feed(spark, ix, (170,))
+    # batch 1 crashes after its append and is replayed verbatim
+    ev = load_table(spark, SF, "events").filter(F.col("event_id") >= 170)
+    hll_update_batch(ev, 1, str(ix))
+    assert _stream_est(spark, ix) == _batch_est(spark)
+
+
+def test_compaction_folds_and_replays_stay_noops(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.functions.hll import HLL_M
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.hll import (
+        compact_registers,
+        hll_update_batch,
+    )
+
+    ix = tmp_path / "ix"
+    ev = load_table(spark, SF, "events")
+    hll_update_batch(ev.filter(F.col("event_id") < 170), 0, str(ix))
+    stats = compact_registers(spark, str(ix))
+    assert stats["n_files"] >= 1
+    assert stats["rows_after"] <= 6 * HLL_M  # 5 types + headroom
+    # max-merge rule: a replay of the ALREADY-FOLDED batch 0 is a no-op
+    # by algebra — no watermark involved
+    hll_update_batch(ev.filter(F.col("event_id") < 170), 0, str(ix))
+    hll_update_batch(ev.filter(F.col("event_id") >= 170), 1, str(ix))
+    assert _stream_est(spark, ix) == _batch_est(spark)
+    # second fold; parity holds; registers match the batch construction
+    compact_registers(spark, str(ix))
+    assert _stream_regs(spark, ix) == _batch_regs(spark)
+    assert _stream_est(spark, ix) == _batch_est(spark)
+    # nothing left to fold
+    assert compact_registers(spark, str(ix)) == {}
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A fold that crashed after renaming base away (the worst window)
+    is recovered by the next fold's recover-first step."""
+    import os
+
+    from sparkstreamingflume_spark.streaming.hll import compact_registers
+
+    ix = tmp_path / "ix"
+    _feed(spark, ix, (170,))
+    want = _stream_est(spark, ix)
+    compact_registers(spark, str(ix))
+    _feed_more = str(ix / "base")
+    os.rename(_feed_more, str(ix / ".base_old"))  # simulate crash window
+    assert _stream_est(spark, ix) != {} or True  # readable either way
+    compact_registers(spark, str(ix))  # recover-first puts base back
+    assert _stream_est(spark, ix) == want
+
+
+def test_empty_and_invalid_batches_are_noops(spark, tmp_path):
+    from sparkstreamingflume_spark.streaming.hll import hll_update_batch
+
+    ix = tmp_path / "ix"
+    _feed(spark, ix, (170,))
+    want = _stream_est(spark, ix)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    empty = spark.createDataFrame([], schema)
+    nulls = spark.createDataFrame(
+        [(1, None, None, "click", 1.0, None)], schema
+    )
+    hll_update_batch(empty, 2, str(ix))
+    hll_update_batch(nulls, 3, str(ix))
+    assert _stream_est(spark, ix) == want
+
+
+def test_attach_runs_as_real_stream(spark, tmp_path):
+    import json
+    import os
+
+    from sparkstreamingflume_spark.streaming.hll import (
+        attach_hll,
+        distinct_estimates,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "a.json", "w") as f:
+        for i in range(50):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": f"2024-01-{(i % 9) + 1:02d}T00:00:0{i % 10}",
+                        "user_id": i % 7,
+                        "event_type": "click",
+                    }
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).json(str(src))
+    q = attach_hll(
+        stream, str(tmp_path / "ix"), str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_type"]: r["est_hll"]
+        for r in distinct_estimates(spark, str(tmp_path / "ix")).collect()
+    }
+    # 7 users x 9 days = 63 true user-days; raw small-range estimate is
+    # biased but deterministic and must be positive and bounded
+    assert 0 < got["click"] < 500

@@ -4439,3 +4439,100 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase extraction for tokenizer/corpus prep)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigrams rarer than this are noise, not phrases
+PMI_TOPK = 50
+
+
+@query(
+    "q_pmi_collocations",
+    f"""
+    WITH tok0 AS (
+        SELECT unnest({_TOK}) AS tok FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok0 GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    bg0 AS (
+        SELECT unnest({_BG_SH}) AS bigram FROM documents
+        WHERE text IS NOT NULL AND len({_TOK}) >= 2
+    ),
+    totb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg0),
+    big AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM bg0
+        GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    j AS (
+        SELECT b.bigram, b.c_xy, u1.c AS c_x, u2.c AS c_y
+        FROM big b
+        JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+        JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+    )
+    SELECT bigram, c_xy, c_x, c_y,
+           CAST(floor((1000.0 * c_xy * n_uni * n_uni)
+                      / (CAST(n_big AS DOUBLE) * c_x * c_y))
+                AS BIGINT) AS pmi_k
+    FROM j, tot, totb
+    ORDER BY pmi_k DESC, bigram LIMIT {PMI_TOPK}
+    """,
+    doc="PMI collocation mining (Church & Hanks 1990) — the phrase-"
+    "extraction staple of tokenizer training and corpus prep (word2vec's "
+    "phrase pass is this exact statistic): for every bigram seen >= "
+    f"{PMI_MIN_COUNT} times, the pointwise-mutual-information ratio "
+    "p(xy) / (p(x) p(y)) = c_xy * n_uni^2 / (n_big * c_x * c_y), "
+    "emitted monotonically as its floor in thousandths (pmi_k) rather "
+    "than its log — log's libm rounding differs across engines, while "
+    "this one fixed-order IEEE multiply/divide chain over exactly-"
+    "representable integers is bit-identical (the q_sample_weighted "
+    "determinism rule), so the cross-engine ranking is certifiable. "
+    "Top-PMI bigrams = multiword phrases ('new york'); ties broken by "
+    "bigram. 100 TB shape: two map-side-combinable frequency "
+    "aggregations (unigram, bigram), the min-count HAVING prunes the "
+    "bigram tail BEFORE the two token-key hash joins (the joined frame "
+    "is |frequent bigrams|, a tiny fraction of |bigram vocab|; AQE "
+    "broadcasts uni when it fits), single-row totals broadcast by "
+    "crossJoin, and the final ranking is TakeOrderedAndProject "
+    "(per-partition top-K + driver merge of K rows per partition, no "
+    "global sort exchange). Extra: certified by the pytest oracle "
+    "gate.",
+    tags=("text", "pipeline"),
+    extra=True,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    uni = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    bg0 = d.filter(F.size(tokens("text")) >= 2).select(
+        F.explode(shingles("text", 2)).alias("bigram")
+    )
+    totb = bg0.agg(F.count("*").alias("n_big"))
+    big = (
+        bg0.groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    j = (
+        big.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), "w2")
+    )
+    pmi_k = F.floor(
+        (F.lit(1000.0) * F.col("c_xy") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_big").cast("double") * F.col("c_x") * F.col("c_y"))
+    ).cast("long")
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select("bigram", "c_xy", "c_x", "c_y", pmi_k.alias("pmi_k"))
+        .orderBy(F.col("pmi_k").desc(), "bigram")
+        .limit(PMI_TOPK)
+    )

@@ -83,6 +83,13 @@ EXTRA_QUERIES = (
     # bigram LM: two frequency-table builds + double token-key join —
     # the heaviest of the quality-gate family
     "q_lm_bigram",
+    # portable HLL: fixed 256-register state per group, combinable —
+    # should be flat; a superlinear ratio here means the register
+    # pre-aggregation stopped combining map-side
+    "q_distinct_hll",
+    # PMI: the min-count HAVING must prune before the token joins — a
+    # blowup here is the joined frame growing with the bigram tail
+    "q_pmi_collocations",
 )
 
 

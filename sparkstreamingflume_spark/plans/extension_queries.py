@@ -4536,3 +4536,127 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_k").desc(), "bigram")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining (market-basket co-occurrence over user-days)
+# ---------------------------------------------------------------------------
+
+AR_MIN_SUPPORT = 10  # pairs co-occurring in fewer baskets are noise
+
+
+@query(
+    "q_assoc_rules",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {24 * 3600 * 1_000_000} AS day,
+               event_type
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    nb AS (
+        SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_b FROM items
+    ),
+    sup AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS s FROM items
+        GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS x, b.event_type AS y,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM items a
+        JOIN items b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        HAVING count(*) >= {AR_MIN_SUPPORT}
+    )
+    SELECT x, y, n_xy,
+           CAST(floor((1000000.0 * n_xy * n_b)
+                      / (CAST(sx.s AS DOUBLE) * sy.s)) AS BIGINT) AS lift_ppm,
+           (n_xy * 1000000) // sx.s AS conf_x_to_y_ppm,
+           (n_xy * 1000000) // sy.s AS conf_y_to_x_ppm
+    FROM pairs
+    JOIN sup sx ON sx.event_type = pairs.x
+    JOIN sup sy ON sy.event_type = pairs.y, nb
+    ORDER BY lift_ppm DESC, x, y
+    """,
+    doc="Association-rule mining over user-day baskets (Agrawal & "
+    "Srikant 1994's support/confidence plus lift): a basket is the SET "
+    "of event types a user produced in one day; for every type pair "
+    "co-occurring in >= AR_MIN_SUPPORT baskets, lift = "
+    "n_xy * n_baskets / (s_x * s_y) (floored fixed-order IEEE chain — "
+    "the product exceeds 2^63 at sf1, so the integer form would "
+    "overflow where the deterministic-double form cannot) and both "
+    "directional confidences in exact integer ppm. The co-occurrence "
+    "complement of q_pmi_collocations (adjacency) and "
+    "q_event_transitions (order). 100 TB shape: baskets come from one "
+    "DISTINCT on (user, day, type); the pair frame is a SELF-JOIN "
+    "CO-PARTITIONED on the basket key (user_id, day) — one shuffle "
+    "each side, and per-basket output is bounded by |event types|^2 "
+    "(a constant), so pairs grow linearly in baskets, never "
+    "quadratically in events; supports broadcast back onto the "
+    "pair frame (|types| rows). ts/user_id/event_type NOT NULL "
+    "mirrored both sides (an untyped or unattributed event is not an "
+    "item). Extra: certified by the pytest oracle gate.",
+    tags=("relational", "pipeline"),
+    extra=True,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 24 * 3600 * 1_000_000
+    items = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / day_us).cast("long").alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    nb = items.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_b")
+    )
+    sup = items.groupBy("event_type").agg(F.count("*").alias("s"))
+    b = items.select(
+        F.col("user_id"), F.col("day"), F.col("event_type").alias("y")
+    )
+    pairs = (
+        items.join(b, ["user_id", "day"])
+        .filter(F.col("event_type") < F.col("y"))
+        .groupBy(F.col("event_type").alias("x"), "y")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= AR_MIN_SUPPORT)
+    )
+    lift = F.floor(
+        (F.lit(1_000_000.0) * F.col("n_xy") * F.col("n_b"))
+        / (F.col("sx").cast("double") * F.col("sy"))
+    ).cast("long")
+    return (
+        pairs.join(
+            F.broadcast(
+                sup.select(F.col("event_type").alias("x"), F.col("s").alias("sx"))
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                sup.select(F.col("event_type").alias("y"), F.col("s").alias("sy"))
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            lift.alias("lift_ppm"),
+            F.expr("(n_xy * 1000000) div sx").alias("conf_x_to_y_ppm"),
+            F.expr("(n_xy * 1000000) div sy").alias("conf_y_to_x_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "x", "y")
+    )

@@ -100,7 +100,7 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-8 ROTATION NOTE: the late-round-7 sessions added TWENTY new
+# ROUND-8 ROTATION NOTE: the late-round-7 sessions added TWENTY-ONE new
 # oracle queries that have pytest-gate rows but no driver row yet —
 # q_dedup_block_scrub, q_scd2_history, q_dedup_prefix_filter, q_funnel,
 # q_retention, q_event_transitions, q_dsir_weight, q_resample_locf,
@@ -109,7 +109,7 @@ def primary_queries() -> dict[str, Query]:
 # q_inverted_index, q_knn_graph, q_shuffle_shards, q_lm_bigram,
 # q_distinct_hll (portable-HLL registers; streaming twin
 # streaming/hll.py rests on tests/test_stream_hll.py),
-# q_pmi_collocations. They are
+# q_pmi_collocations, q_assoc_rules. They are
 # first-priority slots for the round-8 window (the "no
 # never-driver-certified names" ledger invariant the round-6 verdict
 # established), along with whatever round-8 changes plans. The NULL-ts

@@ -90,6 +90,9 @@ EXTRA_QUERIES = (
     # PMI: the min-count HAVING must prune before the token joins — a
     # blowup here is the joined frame growing with the bigram tail
     "q_pmi_collocations",
+    # basket self-join co-partitioned on (user, day): per-basket output
+    # is |types|^2-bounded, so the ratio gate proves linearity
+    "q_assoc_rules",
 )
 
 

@@ -72,6 +72,10 @@ def main() -> None:
         # 10 s bar as neardup's in-loop compaction
         "cms": 5,
         "cms_compact": 10,
+        # hll appends <= |types| * 256 register rows per batch — same
+        # weight class as cms (one combinable agg + KB parquet write)
+        "hll": 5,
+        "hll_compact": 10,
     }.get(mode, 2)
 
     from pyspark.sql import functions as F
@@ -328,6 +332,65 @@ def main() -> None:
             .start()
         )
         transformed = None
+    elif mode in ("hll", "hll_compact"):
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import hll as HL
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_hll_")
+        # every row is a NEW user (value is unique), round-robined over
+        # 5 event types: the tracked distinct count grows linearly with
+        # the stream while the register state stays <= 5 * 256 rows —
+        # the bounded-state-unbounded-cardinality contract under load
+        types = F.array(
+            *[
+                F.lit(t)
+                for t in ("click", "view", "purchase", "signup", "error")
+            ]
+        )
+        ev = rate.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("user_id"),
+            F.element_at(types, (F.col("value") % 5 + 1).cast("int")).alias(
+                "event_type"
+            ),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _reg_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/delta/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/base/*.parquet")
+            )
+
+        def _hll_cb(b, bid):
+            HL.hll_update_batch(b, bid, ix_dir)
+            if mode == "hll_compact" and bid > 0 and bid % compact_every == 0:
+                files_before = _reg_files()
+                t0 = time.time()
+                st = HL.compact_registers(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _reg_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            ev.writeStream.foreachBatch(_hll_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
@@ -468,6 +531,30 @@ def main() -> None:
             )
             out["sketch_files_final"] = _sketch_files()
             if mode == "cms_compact":
+                out["compactions"] = compactions
+        elif mode in ("hll", "hll_compact"):
+            from sparkstreamingflume_spark.streaming import hll as HL
+
+            # end-of-run estimate sanity: values round-robin the 5
+            # types, so each type's true distinct user-day count is
+            # ~ingested/5 — every estimate must land within the sketch's
+            # error envelope (|err| < 20% covers ~3 sigma at M = 256)
+            ingested = sum(p.get("numInputRows", 0) for p in fed)
+            expected = ingested // 5
+            ests = {
+                r["event_type"]: r["est_hll"]
+                for r in HL.distinct_estimates(spark, ix_dir).collect()
+            }
+            out["distinct_expected_per_type"] = expected
+            out["distinct_est"] = ests
+            if expected:
+                out["est_err_ppm_max"] = max(
+                    abs(e - expected) * 1_000_000 // expected
+                    for e in ests.values()
+                )
+            out["register_rows"] = HL.read_registers(spark, ix_dir).count()
+            out["index_files_final"] = _reg_files()
+            if mode == "hll_compact":
                 out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))

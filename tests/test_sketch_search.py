@@ -317,3 +317,250 @@ def test_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_hll_matches_pure_python(spark, tmp_path):
+    """Registers, estimate and error column re-derived in plain Python
+    (md5 + bit twiddling + integer divisions) — a drift mirrored into
+    both SQL dialects would pass the oracle but fail this."""
+    import datetime
+    import shutil
+
+    from sparkstreamingflume_spark.functions.hll import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_SHIFT,
+    )
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    out = tmp_path / "hll_sf"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    # 2 types x (users x days) grids of different true cardinality
+    rows = []
+    eid = 0
+    for typ, n_users, n_days in (("a", 400, 5), ("b", 7, 3)):
+        for u in range(n_users):
+            for d in range(n_days):
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, d + 1, 12, 0, 0),
+                        u,
+                        typ,
+                        1.0,
+                        "p",
+                    )
+                )
+                eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(out / "events.parquet"))
+
+    # independent reference
+    want = {}
+    for typ in ("a", "b"):
+        keys = {
+            f"{u}/2024-01-{d + 1:02d}"
+            for (_, ts, u, t, _, _) in rows
+            for d in [ts.day - 1]
+            if t == typ
+        }
+        regs: dict[int, int] = {}
+        for k in keys:
+            h = h32_py(f"hll:{k}")
+            bucket, w = h % HLL_M, h >> 8
+            rho = (w & -w).bit_length() if w else HLL_SHIFT
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        z = sum(1 << (HLL_SHIFT - r) for r in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << HLL_SHIFT)
+        est = (HLL_ALPHA_NUM // z) // 1_000_000
+        exact = len(keys)
+        want[typ] = (exact, est, abs(est - exact) * 1_000_000 // exact)
+
+    got = {
+        r["event_type"]: (r["n_exact"], r["est_hll"], r["err_ppm"])
+        for r in REGISTRY["q_distinct_hll"].build(spark, str(out)).collect()
+    }
+    assert got == want
+    # the 2000-key grid sits in the raw regime (n >> 2.5 M) and must
+    # estimate within the 3-sigma envelope
+    assert want["a"][2] < 200_000
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_matches_pure_python_and_finds_planted_phrase(spark, tmp_path):
+    import math
+    import shutil
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        PMI_MIN_COUNT,
+    )
+
+    out = tmp_path / "pmi_sf"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    # 'new york' always adjacent (8x) inside varied filler; 'of the'
+    # frequent but independent
+    # 'of the' IS adjacent 8x, but both words also occur apart (16x
+    # each), halving p(xy)/(p(x)p(y)) relative to the exclusive pair
+    texts = [f"new york of the a{i} of b{i} the c{i}" for i in range(8)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(out / "documents.parquet"))
+
+    # independent reference with the same fixed-order float chain
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    n_big = 0
+    for t in texts:
+        toks = t.split(" ")
+        for tok in toks:
+            uni[tok] = uni.get(tok, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[f"{a} {b}"] = big.get(f"{a} {b}", 0) + 1
+            n_big += 1
+    n_uni = sum(uni.values())
+    want = []
+    for bg, c_xy in big.items():
+        if c_xy < PMI_MIN_COUNT:
+            continue
+        w1, w2 = bg.split(" ")
+        pmi_k = math.floor(
+            (1000.0 * c_xy * n_uni * n_uni)
+            / (float(n_big) * uni[w1] * uni[w2])
+        )
+        want.append((bg, c_xy, uni[w1], uni[w2], pmi_k))
+    want.sort(key=lambda r: (-r[4], r[0]))
+
+    got = [
+        (r["bigram"], r["c_xy"], r["c_x"], r["c_y"], r["pmi_k"])
+        for r in REGISTRY["q_pmi_collocations"].build(spark, str(out)).collect()
+    ]
+    assert got == want[: len(got)]
+    # the planted adjacent phrase outranks the frequent-but-independent
+    # pair
+    ranks = {bg: i for i, (bg, *_rest) in enumerate(got)}
+    assert ranks["new york"] < ranks["of the"]
+
+
+# ---------------------------------------------------------------------------
+# Association rules
+# ---------------------------------------------------------------------------
+
+
+def test_assoc_rules_matches_pure_python(spark, tmp_path):
+    import datetime
+    import math
+    import shutil
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        AR_MIN_SUPPORT,
+    )
+
+    out = tmp_path / "ar_sf"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", str(out / f"{t}.parquet"))
+    # 30 baskets: {p, q} always together; {p, r} in half; r alone in rest
+    baskets = []
+    for u in range(30):
+        items = ["p", "q"] if u % 2 == 0 else (["p", "r"] if u % 4 == 1 else ["r"])
+        baskets.append((u, items))
+    for u in range(30, 60):
+        items = ["p", "r"] if u % 2 == 0 else ["r"]
+        baskets.append((u, items))
+    rows = []
+    eid = 0
+    for u, items in baskets:
+        for it in items:
+            rows.append((eid, datetime.datetime(2024, 2, 1, 8, 0, 0), u, it))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["x"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(out / "events.parquet"))
+
+    # independent reference
+    n_b = len(baskets)
+    sup: dict[str, int] = {}
+    pair: dict[tuple[str, str], int] = {}
+    for _, items in baskets:
+        s = sorted(set(items))
+        for it in s:
+            sup[it] = sup.get(it, 0) + 1
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] = pair.get((s[i], s[j]), 0) + 1
+    want = []
+    for (x, y), n_xy in pair.items():
+        if n_xy < AR_MIN_SUPPORT:
+            continue
+        lift = math.floor(
+            (1_000_000.0 * n_xy * n_b) / (float(sup[x]) * sup[y])
+        )
+        want.append(
+            (
+                x,
+                y,
+                n_xy,
+                lift,
+                n_xy * 1_000_000 // sup[x],
+                n_xy * 1_000_000 // sup[y],
+            )
+        )
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+
+    got = [
+        tuple(r)
+        for r in REGISTRY["q_assoc_rules"].build(spark, str(out)).collect()
+    ]
+    assert got == want
+    # the always-together pair must out-lift the half-time pair
+    lifts = {(x, y): l for x, y, _, l, _, _ in got}
+    assert lifts[("p", "q")] > lifts[("p", "r")]

@@ -317,6 +317,22 @@ def test_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in p
+    # PMI's ranking must be a partial top-K, not a global sort
+    p = (
+        REGISTRY["q_pmi_collocations"].build(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+    # the HLL estimate/exact recombination and the assoc-rule support
+    # join-backs are |types|-sized — broadcast, never sort-merge
+    for name in ("q_distinct_hll", "q_assoc_rules"):
+        p = (
+            REGISTRY[name].build(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
 
 
 # ---------------------------------------------------------------------------

@@ -4660,3 +4660,272 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift_ppm").desc(), "x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable value-distribution sketch: log-linear histogram quantiles + drift
+# ---------------------------------------------------------------------------
+
+from sparkstreamingflume_spark.functions.hdr import (  # noqa: E402
+    HDR_QUANTILES_PPM,
+    hdr_idx_mid,
+    hdr_idx_mid_sql,
+    hdr_registers,
+    rank_expr,
+    rank_sql,
+)
+
+_HDR_IDX_SQL, _HDR_MID_SQL = hdr_idx_mid_sql("cents")
+
+_Q_NAMES = {500_000: "p50", 950_000: "p95", 990_000: "p99"}
+
+
+def _quantile_hdr_oracle() -> str:
+    est_cols = ", ".join(
+        f"min(CASE WHEN cum >= {rank_sql('n', q)} THEN mid END)"
+        f" AS {_Q_NAMES[q]}_est_cents"
+        for q in HDR_QUANTILES_PPM
+    )
+    ex_cols = ", ".join(
+        f"min(CASE WHEN rn = {rank_sql('n', q)} THEN cents END)"
+        f" AS {_Q_NAMES[q]}_exact_cents"
+        for q in HDR_QUANTILES_PPM
+    )
+    err_cols = ", ".join(
+        f"CAST(abs({n}_est_cents - {n}_exact_cents) * 1000000"
+        f" // {n}_exact_cents AS BIGINT) AS err{n[1:]}_ppm"
+        for n in ("p50", "p95", "p99")
+    )
+    out_cols = ", ".join(
+        f"{n}_exact_cents, {n}_est_cents" for n in ("p50", "p95", "p99")
+    )
+    return f"""
+    WITH vals AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE value IS NOT NULL
+          AND CAST(floor(value * 100) AS BIGINT) >= 1
+    ),
+    regs AS (
+        SELECT event_type, {_HDR_IDX_SQL} AS idx, {_HDR_MID_SQL} AS mid,
+               count(*) AS cnt
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, mid, cnt,
+               sum(cnt) OVER (PARTITION BY event_type) AS n,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+        FROM regs
+    ),
+    est AS (
+        SELECT event_type AS et, CAST(max(n) AS BIGINT) AS n_vals,
+               {est_cols}
+        FROM cum GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ),
+    exact AS (
+        SELECT event_type, {ex_cols}
+        FROM ranked GROUP BY 1
+    )
+    SELECT ex.event_type, est.n_vals, {out_cols}, {err_cols}
+    FROM exact ex JOIN est ON ex.event_type IS NOT DISTINCT FROM est.et
+    """
+
+
+@query(
+    "q_quantile_hdr",
+    _quantile_hdr_oracle(),
+    doc="Per-type value quantiles (p50/p95/p99, integer cents) from "
+    "portable log-linear histogram registers (functions/hdr.py; "
+    "HdrHistogram bucketing) — the value-distribution member of the "
+    "portable-sketch family, and the register-certified counterpart "
+    "of q_approx_aggs / q_approx_percentile, whose engine-internal "
+    "KLL/t-digest sketches are order-dependent and only tolerance-"
+    "checkable. Bucket index and midpoint are pure integer functions "
+    "of the value (exponent via length(bin(v)) — no float log), so "
+    "Spark and DuckDB materialize bit-identical registers AND "
+    "estimates; the emitted exact quantiles (deterministic k-th-"
+    "smallest rank rule shared by both dialects) make the sketch "
+    "error a certified value (errNN_ppm, bounded by the 1/64 bucket "
+    "half-width). 100 TB shape: the register build is ONE map-side "
+    "combinable groupBy onto <= |types| * ~2k keys; registers are "
+    "sum-mergeable across partitions/days/engines/micro-batches "
+    "(streaming twin: streaming/quantile.py), so history is never "
+    "re-sorted — the exact side (a per-type sort) exists to exhibit "
+    "the error and is what you would DROP at scale, leaving the "
+    "register path only. value NOT NULL and cents >= 1 mirrored both "
+    "sides. Extra: certified by the pytest oracle gate.",
+    tags=("sketch", "agg", "approx", "pipeline"),
+    extra=True,
+)
+def q_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    regs = hdr_registers(vals, "event_type", "cents")
+    w_n = Window.partitionBy("g")
+    w_cum = Window.partitionBy("g").orderBy("idx")
+    cum = regs.withColumn("n", F.sum("cnt").over(w_n)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+    est = cum.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_vals"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(rank_expr("n", q)), F.col("mid")
+                )
+            ).alias(f"{_Q_NAMES[q]}_est_cents")
+            for q in HDR_QUANTILES_PPM
+        ],
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("cents")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = vals.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_cnt)
+    )
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr(rank_expr("n", q)), F.col("cents")
+                )
+            ).alias(f"{_Q_NAMES[q]}_exact_cents")
+            for q in HDR_QUANTILES_PPM
+        ]
+    )
+    return exact.join(
+        F.broadcast(est), exact.event_type.eqNullSafe(F.col("g"))
+    ).select(
+        "event_type",
+        "n_vals",
+        *[
+            c
+            for n in ("p50", "p95", "p99")
+            for c in (f"{n}_exact_cents", f"{n}_est_cents")
+        ],
+        *[
+            F.expr(
+                f"CAST(abs({n}_est_cents - {n}_exact_cents) * 1000000"
+                f" DIV {n}_exact_cents AS BIGINT)"
+            ).alias(f"err{n[1:]}_ppm")
+            for n in ("p50", "p95", "p99")
+        ],
+    )
+
+
+@query(
+    "q_dist_drift",
+    f"""
+    WITH vals AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND CAST(floor(value * 100) AS BIGINT) >= 1
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM vals),
+    tagged AS (
+        SELECT event_type,
+               CASE WHEN date_diff('day', lo, d) * 2
+                         <= date_diff('day', lo, hi)
+                    THEN 0 ELSE 1 END AS pb,
+               {_HDR_IDX_SQL} AS idx
+        FROM vals, bounds
+    ),
+    h AS (
+        SELECT event_type, idx,
+               sum(CASE WHEN pb = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN pb = 1 THEN 1 ELSE 0 END) AS cb
+        FROM tagged GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, ca, cb,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM h
+    )
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN na > 0 AND nb > 0
+                         THEN abs(ca * 1000000 // na - cb * 1000000 // nb)
+                         ELSE 0 END) // 2 AS BIGINT) AS tv_ppm
+    FROM t GROUP BY 1
+    HAVING max(na) > 0 AND max(nb) > 0
+    """,
+    doc="Distribution-drift monitor: per event type, the total-variation "
+    "distance (integer ppm) between the value histograms of the first "
+    "and second halves of the date range, over the same portable "
+    "log-linear buckets as q_quantile_hdr (functions/hdr.py). TV = "
+    "(1/2) * sum_b |p_a(b) - p_b(b)| — the drift / data-quality gate "
+    "a training pipeline runs between crawl snapshots or ingestion "
+    "days; integer throughout (per-bucket proportions floored to ppm "
+    "before the L1 sum), so no log()/KL whose libm rounding differs "
+    "across engines. 100 TB shape: ONE combinable groupBy(type, "
+    "bucket) with two conditional sums — the histogram frame is <= "
+    "|types| * ~2k rows regardless of event count; the date bounds "
+    "are a broadcast single-row cross join (the resample family's "
+    "bounds-derived pattern), and per-period totals ride a window "
+    "over the tiny register frame, not the raw events. ts/value NOT "
+    "NULL and cents >= 1 mirrored both sides (an undated or "
+    "unvalued event belongs to no histogram). Extra: certified by "
+    "the pytest oracle gate.",
+    tags=("sketch", "agg", "pipeline"),
+    extra=True,
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _ = hdr_idx_mid("cents")
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    bounds = vals.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    tagged = vals.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.datediff("d", "lo") * 2 <= F.datediff("hi", "lo"), 0
+        )
+        .otherwise(1)
+        .alias("pb"),
+        idx,
+    )
+    h = tagged.groupBy("event_type", "idx").agg(
+        F.sum(F.when(F.col("pb") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("pb") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.partitionBy("event_type")
+    t = h.withColumn("na", F.sum("ca").over(w)).withColumn(
+        "nb", F.sum("cb").over(w)
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(sum(CASE WHEN na > 0 AND nb > 0"
+                " THEN abs(ca * 1000000 DIV na - cb * 1000000 DIV nb)"
+                " ELSE 0 END) DIV 2 AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )

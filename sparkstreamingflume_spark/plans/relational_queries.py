@@ -2104,3 +2104,195 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z2_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom-gated join pruning
+# ---------------------------------------------------------------------------
+
+from sparkstreamingflume_spark.functions.bloom import (  # noqa: E402
+    BF_BITS,
+    BF_K,
+    BF_WORD_BITS,
+    BF_WORDS,
+    bloom_member,
+    bloom_member_sql,
+    bloom_positions,
+    bloom_positions_sql,
+)
+
+BF_SEGMENT = "BUILDING"
+
+
+def _bloom_oracle() -> str:
+    build_pos = bloom_positions_sql("k")
+    probe_pos = bloom_positions_sql("k")
+    pos_cols = ", ".join(
+        f"{p} AS pos{i}" for i, p in enumerate(probe_pos)
+    )
+    member = " AND ".join(
+        bloom_member_sql("bf.bf", f"pos{i}") for i in range(BF_K)
+    )
+    return f"""
+    WITH keys AS (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+        FROM customer
+        WHERE c_mktsegment = '{BF_SEGMENT}' AND c_custkey IS NOT NULL
+    ),
+    bits AS (
+        SELECT unnest([{', '.join(build_pos)}]) AS pos FROM keys
+    ),
+    words AS (
+        SELECT pos // {BF_WORD_BITS} AS word,
+               bit_or(1::BIGINT << CAST(pos % {BF_WORD_BITS} AS INT)) AS w
+        FROM bits GROUP BY 1
+    ),
+    bf AS (
+        SELECT list(COALESCE(w, 0) ORDER BY t.word) AS bf
+        FROM range({BF_WORDS}) AS t(word)
+        LEFT JOIN words ON t.word = words.word
+    ),
+    probe0 AS (
+        SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ),
+    probe AS (
+        SELECT o_orderpriority, k, {pos_cols} FROM probe0
+    ),
+    flagged AS (
+        SELECT p.o_orderpriority,
+               COALESCE({member}, FALSE) AS bp,
+               (keys.k IS NOT NULL) AS tm
+        FROM probe p
+        CROSS JOIN bf
+        LEFT JOIN keys ON p.k = keys.k
+    ),
+    agg AS (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(CASE WHEN bp THEN 1 ELSE 0 END) AS n_bloom_pass,
+               sum(CASE WHEN tm THEN 1 ELSE 0 END) AS n_true,
+               sum(CASE WHEN bp AND NOT tm THEN 1 ELSE 0 END)
+                   AS n_false_pos,
+               sum(CASE WHEN tm AND NOT bp THEN 1 ELSE 0 END) AS n_missed
+        FROM flagged GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_bloom_pass AS BIGINT) AS n_bloom_pass,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CAST(n_missed AS BIGINT) AS n_missed,
+           CAST(CASE WHEN n_orders - n_true > 0
+                     THEN n_false_pos * 1000000 // (n_orders - n_true)
+                     ELSE 0 END AS BIGINT) AS fp_ppm
+    FROM agg
+    """
+
+
+@query(
+    "q_bloom_filter_join",
+    _bloom_oracle(),
+    doc="Bloom-gated join pruning with a CERTIFIED false-positive rate "
+    "(functions/bloom.py; Bloom 1970): build a portable bitmap over "
+    "the selective dim side's join keys (customers in one segment), "
+    "evaluate all K membership bits on the fact side as pure "
+    "expressions against ONE broadcast dense-word row, and emit per "
+    "order priority the pass/true/false-positive/missed counts — "
+    "n_missed is the no-false-negative invariant (must be 0) and "
+    "fp_ppm the measured error, both oracle-hash-certified because "
+    "the bit positions derive from the cross-engine h32 primitive. "
+    "This is the portable twin of Spark's engine-internal runtime "
+    "bloom filter (injected by AQE for shuffle pruning): the shape a "
+    "100 TB fact-dim join wants — the fact side is scanned ONCE with "
+    "zero pre-join shuffle (the final groupBy is map-side "
+    "combinable), the filter build is one combinable BIT_OR agg onto "
+    "<= ceil(BF_BITS/63) words regardless of dim cardinality, and "
+    "the dense row (built over a fixed range frame so an EMPTY dim "
+    "still yields one all-zero row) broadcasts at O(BF_BITS) bytes. "
+    "BF_BITS = 2048 is fixture-sized so the certified fp_ppm is "
+    "nonzero and visible; scaling it to the dim cardinality changes "
+    "no shape. NULL custkeys are non-members on both sides "
+    "(coalesce FALSE / join-miss). Extra: certified by the pytest "
+    "oracle gate.",
+    tags=("relational", "join", "sketch"),
+    extra=True,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == BF_SEGMENT)
+            & F.col("c_custkey").isNotNull()
+        )
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bits = keys.select(
+        F.explode(F.array(*bloom_positions(F.col("k")))).alias("pos")
+    )
+    words = bits.groupBy(
+        F.expr(f"pos DIV {BF_WORD_BITS}").alias("word")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pos % {BF_WORD_BITS} AS INT)))"
+        ).alias("w")
+    )
+    bf_row = (
+        spark.range(BF_WORDS)
+        .select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(word, w))),"
+                " s -> s.w)"
+            ).alias("bf")
+        )
+    )
+    probe = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("k")
+    )
+    pr = probe.select(
+        "o_orderpriority", "k", *bloom_positions(F.col("k"))
+    ).crossJoin(F.broadcast(bf_row))
+    member = bloom_member("bf", "pos0")
+    for i in range(1, BF_K):
+        member = member & bloom_member("bf", f"pos{i}")
+    flagged = (
+        pr.select(
+            "o_orderpriority",
+            "k",
+            F.coalesce(member, F.lit(False)).alias("bp"),
+        )
+        .join(
+            F.broadcast(keys.withColumn("t", F.lit(True))), "k", "left"
+        )
+        .select(
+            "o_orderpriority", "bp", F.coalesce("t", F.lit(False)).alias("tm")
+        )
+    )
+    agg = flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("tm"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("bp") & ~F.col("tm"), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum(F.when(F.col("tm") & ~F.col("bp"), 1).otherwise(0)).alias(
+            "n_missed"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_bloom_pass",
+        "n_true",
+        "n_false_pos",
+        "n_missed",
+        F.expr(
+            "CAST(CASE WHEN n_orders - n_true > 0"
+            " THEN n_false_pos * 1000000 DIV (n_orders - n_true)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("fp_ppm"),
+    )

@@ -20,8 +20,9 @@ a replayed batch's re-appended rows change nothing and no fold
 watermark is needed; the counter index needs its watermark precisely
 because + is not idempotent. :func:`compact_signatures` exists purely
 for file-count/row hygiene (fold to one row per (source, perm) via the
-same Hadoop-FS rename-swap protocol) and can run at any time without a
-replay-safety argument.
+list-first / fold-exactly-the-list / delete-exactly-the-list protocol
+of ``streaming/hll.py``) and can run at any time: concurrent appends
+land beside the fold and survive it.
 
 The reference never maintained cross-batch aggregates; capability
 extension (SURVEY.md §2 LLM-pipeline track).
@@ -135,11 +136,19 @@ def source_overlap(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def compact_signatures(spark: SparkSession, index_dir: str) -> dict:
     """Fold the index to one row per (source, perm) — pure hygiene (see
-    module doc: min-merge needs no replay watermark), same recover-first
-    / tmp-write / rename-swap protocol as the other indexes, via the
-    Hadoop FS API. batch_id keeps the MIN batch that contributed — an
-    audit column only. Returns {rows_before, rows_after} or {} when the
-    index does not exist yet."""
+    module doc: min-merge needs no replay watermark). batch_id keeps the
+    MIN batch that contributed — an audit column only.
+
+    Concurrent-append safe, and genuinely so ("can run at any time"):
+    the fold LISTS the sig part-files first, folds exactly that list,
+    renames the folded file INTO ``sig/`` (the dir is never renamed or
+    dropped, so an append landing mid-fold can neither be discarded nor
+    recreate the dir under a swap), and deletes exactly the listed
+    inputs afterwards. A crash between the rename-in and the deletes
+    leaves both folded and raw rows — harmless, min-merge is idempotent.
+    Same list-first protocol as :func:`streaming.hll.compact_registers`.
+    Returns {rows_before, rows_after, n_files} or {} when there is
+    nothing to fold."""
     fs, jroot = _hadoop_fs(spark, index_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     path = f"{index_dir}/sig"
@@ -148,6 +157,7 @@ def compact_signatures(spark: SparkSession, index_dir: str) -> dict:
         for st in fs.listStatus(jroot):
             if st.getPath().getName().startswith(".sig_compact_"):
                 fs.delete(st.getPath(), True)
+    # recover the legacy whole-dir swap (pre-list-first folds only)
     if fs.exists(jold):
         if fs.exists(jp):
             fs.delete(jold, True)
@@ -155,7 +165,14 @@ def compact_signatures(spark: SparkSession, index_dir: str) -> dict:
             fs.rename(jold, jp)
     if not fs.exists(jp):
         return {}
-    before = _read_index(spark, path, SIG_SCHEMA)
+    files = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().startswith("part-")
+    ]
+    if len(files) <= 1:
+        return {}
+    before = spark.read.schema(SIG_SCHEMA).parquet(*files)
     n_before = before.count()
     folded = before.groupBy("source", "j").agg(
         F.min("sig").alias("sig"), F.min("batch_id").alias("batch_id")
@@ -164,7 +181,17 @@ def compact_signatures(spark: SparkSession, index_dir: str) -> dict:
     # |sources| x N_PERM rows — one file
     folded.repartition(1).write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
-    fs.rename(jp, jold)
-    fs.rename(jvm_path(tmp), jp)
-    fs.delete(jold, True)
-    return {"rows_before": n_before, "rows_after": n_after}
+    # move the folded part-file in beside the live appends (its job-UUID
+    # name cannot collide), then retire exactly the inputs it covers
+    for st in fs.listStatus(jvm_path(tmp)):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(st.getPath(), jvm_path(f"{path}/{name}"))
+    fs.delete(jvm_path(tmp), True)
+    for f in files:
+        fs.delete(jvm_path(f), False)
+    return {
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "n_files": len(files),
+    }

@@ -165,9 +165,13 @@ def heavy_hitters(
         .select(
             "tok",
             F.col("est").cast("long").alias("est"),
-            (F.col("est") * 1_000_000 >= F.col("n_tok") * hh_ppm).alias(
-                "heavy"
-            ),
+            # n_tok > 0 gate: an empty/never-written index yields est = 0
+            # AND n_tok = 0, and 0 >= 0 would flag EVERY probe token
+            # heavy — the opposite of the never-seen => not-heavy contract
+            (
+                (F.col("n_tok") > 0)
+                & (F.col("est") * 1_000_000 >= F.col("n_tok") * hh_ppm)
+            ).alias("heavy"),
         )
     )
 
@@ -183,8 +187,17 @@ def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
     one crash window that differs: the new base (covering deltas up to
     the new watermark) is swapped in BEFORE the folded deltas are
     deleted, so a crash between the two leaves base + still-present
-    deltas <= wm — which every read already ignores. Returns
-    {rows_before, rows_after, wm} or {} when there is nothing to fold.
+    deltas <= wm — which every read already ignores.
+
+    Concurrent-append safe (usable OUTSIDE the foreachBatch thread): the
+    fold LISTS the delta part-files once, folds exactly that list,
+    derives the new watermark from the LISTED files' max batch_id, and
+    deletes exactly that list — a delta appended mid-fold is neither
+    deleted unfolded (it survives to the next fold) nor silently covered
+    by a too-high watermark (its batch_id, if newer than every listed
+    file, stays > wm and every read still adds it). Returns
+    {rows_before, rows_after, wm, n_files} or {} when there is nothing
+    to fold.
     """
     fs, jroot = _hadoop_fs(spark, index_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -204,22 +217,40 @@ def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
             fs.rename(jold, jbase)
     if not fs.exists(jdelta):
         return {}
-    delta = _read_index(spark, delta_p, DELTA_SCHEMA)
+    files = [
+        st.getPath().toString()
+        for st in fs.listStatus(jdelta)
+        if st.getPath().getName().startswith("part-")
+    ]
+    if not files:
+        return {}
+    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
     base = _read_index(spark, base_p, BASE_SCHEMA)
     wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
     hi = delta.filter(F.col("batch_id") > wm_old).agg(
         F.max("batch_id")
     ).first()[0]
     if hi is None:
-        # every delta row is <= wm (replays of already-folded batches,
-        # whose counts base already carries): reads ignore them, but the
-        # files would otherwise accumulate forever on a stalled stream —
-        # reclaim them here rather than waiting for a future fold
-        fs.delete(jdelta, True)
+        # every listed delta row is <= wm (replays of already-folded
+        # batches, whose counts base already carries): reads ignore
+        # them, but the files would otherwise accumulate forever on a
+        # stalled stream — reclaim exactly the listed files (a delta
+        # appended after the listing survives for the next fold)
+        for f in files:
+            fs.delete(jvm_path(f), False)
         return {}
     rows_before = delta.count() + base.count()
-    folded = read_sketch(spark, index_dir).withColumn(
-        "wm", F.lit(int(hi)).cast("long")
+    fresh = (
+        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
+        .groupBy("batch_id", "d", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    folded = (
+        base.select("d", "bucket", "cnt")
+        .unionByName(fresh.select("d", "bucket", "cnt"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("wm", F.lit(int(hi)).cast("long"))
     )
     tmp = f"{index_dir}/.base_compact_tmp"
     # the folded sketch is <= CMS_D * CMS_W + 1 rows — one file
@@ -229,6 +260,13 @@ def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
         fs.rename(jbase, jold)
     fs.rename(jvm_path(tmp), jbase)
     fs.delete(jold, True)
-    # all deltas are now covered by (or older than) the new watermark
-    fs.delete(jdelta, True)
-    return {"rows_before": rows_before, "rows_after": rows_after, "wm": hi}
+    # exactly the folded files — deltas appended mid-fold carry
+    # batch_id > hi = wm and remain visible to every read
+    for f in files:
+        fs.delete(jvm_path(f), False)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "wm": hi,
+        "n_files": len(files),
+    }

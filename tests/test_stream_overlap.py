@@ -154,3 +154,46 @@ def test_attach_runs_as_real_stream(spark, tmp_path):
     # identical corpora estimate exactly 1.0; disjoint ones do not
     assert got[("a", "b")] == 1_000_000
     assert got[("a", "c")] < 1_000_000
+
+
+def test_append_unseen_by_fold_listing_survives_compaction(spark, tmp_path):
+    """The mid-fold-append race, simulated at the file level: a partial
+    appended AFTER the fold's file listing (here: a part-file renamed so
+    the listing skips it) must survive compaction and keep contributing
+    to reads. The legacy whole-dir rename-swap silently discarded it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.overlap import (
+        compact_signatures,
+        overlap_update_batch,
+    )
+
+    ix = tmp_path / "ix"
+    sig = ix / "sig"
+    docs = load_table(spark, SF, "documents")
+    overlap_update_batch(docs.filter(F.col("doc_id") < 10), 0, str(ix))
+    overlap_update_batch(
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 17)),
+        1,
+        str(ix),
+    )
+    before = set(os.listdir(sig))
+    overlap_update_batch(docs.filter(F.col("doc_id") >= 17), 2, str(ix))
+    late = [
+        f
+        for f in os.listdir(sig)
+        if f not in before and f.startswith("part-")
+    ]
+    assert late
+    for i, f in enumerate(late):
+        os.rename(sig / f, sig / f"late-{i}.parquet")
+    stats = compact_signatures(spark, str(ix))
+    assert stats["n_files"] >= 1
+    # the unseen files are untouched and still min-merged into reads
+    assert all(
+        os.path.exists(sig / f"late-{i}.parquet") for i in range(len(late))
+    )
+    assert _stream_output(spark, ix) == _batch_output(spark)

@@ -200,8 +200,10 @@ def test_unseen_probe_token_estimates_zero(spark, tmp_path):
 
 def test_compact_reclaims_stale_replay_deltas(spark, tmp_path):
     """A replay of an already-folded batch leaves a below-watermark
-    delta; the next compact call must reclaim it (delete the delta dir)
-    even though there is nothing new to fold, and parity must hold."""
+    delta; the next compact call must reclaim its part-files even though
+    there is nothing new to fold, and parity must hold. The dir itself
+    survives (emptied): list-first compaction deletes exactly the files
+    it listed, never the dir a concurrent append may be writing into."""
     import os
 
     from pyspark.sql import functions as F
@@ -221,5 +223,60 @@ def test_compact_reclaims_stale_replay_deltas(spark, tmp_path):
     cms_update_batch(docs.filter(F.col("doc_id") < 17), 0, str(ix))
     assert os.path.isdir(str(ix / "delta"))
     assert compact_sketch(spark, str(ix)) == {}
-    assert not os.path.isdir(str(ix / "delta"))
+    assert not [
+        f for f in os.listdir(str(ix / "delta")) if f.startswith("part-")
+    ]
     assert _stream_output(spark, ix) == _batch_output(spark)
+
+
+def test_delta_unseen_by_fold_listing_survives_with_correct_wm(
+    spark, tmp_path
+):
+    """The mid-fold-append race, simulated at the file level: a delta
+    landing AFTER the fold's file listing (here: batch 1's part-files
+    renamed so the listing skips them) must (a) survive compaction and
+    (b) stay ABOVE the new watermark — wm derives from the LISTED files'
+    max batch_id (0), not from whatever is in the dir at delete time, so
+    reads still sum the late batch and parity holds."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.session import load_table
+    from sparkstreamingflume_spark.streaming.sketch import (
+        cms_update_batch,
+        compact_sketch,
+    )
+
+    ix = tmp_path / "ix"
+    delta = ix / "delta"
+    docs = load_table(spark, SF, "documents")
+    cms_update_batch(docs.filter(F.col("doc_id") < 17), 0, str(ix))
+    before = set(os.listdir(delta))
+    cms_update_batch(docs.filter(F.col("doc_id") >= 17), 1, str(ix))
+    late = [
+        f
+        for f in os.listdir(delta)
+        if f not in before and f.startswith("part-")
+    ]
+    assert late
+    for i, f in enumerate(late):
+        os.rename(delta / f, delta / f"late-{i}.parquet")
+    stats = compact_sketch(spark, str(ix))
+    assert stats["wm"] == 0  # listed files only reached batch 0
+    assert all(
+        os.path.exists(delta / f"late-{i}.parquet")
+        for i in range(len(late))
+    )
+    assert _stream_output(spark, ix) == _batch_output(spark)
+
+
+def test_heavy_flag_false_on_empty_index(spark, tmp_path):
+    """est = 0 AND n_tok = 0 on a never-written index: the flag must be
+    false for every probe token (0 >= 0 used to mark ALL of them heavy)."""
+    from sparkstreamingflume_spark.streaming.sketch import heavy_hitters
+
+    probe = spark.createDataFrame([("anything",), ("at",)], "tok string")
+    rows = heavy_hitters(spark, str(tmp_path / "never-written"), probe).collect()
+    assert len(rows) == 2
+    assert all(r["est"] == 0 and r["heavy"] is False for r in rows)

@@ -100,78 +100,78 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-8 ROTATION NOTE: the late-round-7 sessions added TWENTY-ONE new
-# oracle queries that have pytest-gate rows but no driver row yet —
-# q_dedup_block_scrub, q_scd2_history, q_dedup_prefix_filter, q_funnel,
-# q_retention, q_event_transitions, q_dsir_weight, q_resample_locf,
-# q_resample_interp, q_sample_weighted, q_heavy_hitters_cms,
-# q_bm25_search, q_anomaly_zscore, q_corpus_overlap,
-# q_inverted_index, q_knn_graph, q_shuffle_shards, q_lm_bigram,
-# q_distinct_hll (portable-HLL registers; streaming twin
-# streaming/hll.py rests on tests/test_stream_hll.py),
-# q_pmi_collocations, q_assoc_rules. They are
-# first-priority slots for the round-8 window (the "no
-# never-driver-certified names" ledger invariant the round-6 verdict
-# established), along with whatever round-8 changes plans. The NULL-ts
-# hardening also touched six certified plans (sessionize,
-# session_window, window_tumbling/sliding, asof_join, sketch_rollup) —
-# fixture rows are bit-unchanged, but plan-changed slots rank next.
+# ROUND-8 ROTATION: the ledger invariant ("no never-driver-certified
+# names") reopened when late-round-7 sessions landed 28 new oracle
+# queries — all 28 are cross-engine-green on the pytest gate
+# (tests/test_oracle_extras.py) and tools/validate.py, but have never
+# had a driver CORRECTNESS row. They take the first 28 slots. Next:
+# (2) the four round-5-stale how-variants (q_dedup_simhash,
+# q_cluster_sort_bucketed, q_count_by_type_salted, q_enrich_join_salted)
+# — three rounds old by r8, past the "no row older than two rounds"
+# staleness target; (3) the three NULL-ts-hardened plans whose newest
+# row predates the hardening (q_sessionize, q_session_window,
+# q_window_sliding — the other three hardened plans got post-hardening
+# r7 rows); (4) fifteen of the 47 round-6-green queries, picked as the
+# bench headliners + widest primaries so the trend line re-anchors on
+# fresh rows. The 32 round-6-green queries left out rest one round on
+# validate.py + the oracle-extras pytest gate (same compare, run every
+# session); they are first in line for round 9.
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- plan changed this round (BUCKET_CEIL on simhash; IVF-gated topk) ---
-    "q_dedup_simhash_pairs",
-    "q_dedup_simhash_wide",
-    "q_embed_quantize_topk",
-    # -- primaries whose last driver row is round 5 -------------------------
-    "q_approx_aggs",
-    "q_asof_join",
-    "q_cluster_sort",
-    "q_count_by_type",
-    "q_count_distinct",
-    "q_dedup_clusters",
-    "q_dedup_embed_cosine",
-    "q_dedup_keep_best",
-    "q_field_extract",
-    "q_filter_prefix",
-    "q_json_extract",
-    "q_left_join_default",
-    "q_lookup_build",
-    "q_md5_mask_multi",
-    "q_pagerank",
-    "q_pivot",
-    "q_project_44to10",
-    "q_project_kv",
-    "q_range_join",
-    "q_time_rollup",
-    "q_union",
-    "q_window_tumbling",
-    # -- round-4-green extras (stalest rows in the ledger) ------------------
-    "q_contamination",
-    "q_cube",
-    "q_data_mix",
-    "q_distinct",
-    "q_except",
-    "q_histogram",
-    "q_intersect",
-    "q_pii_scrub",
-    "q_profile",
-    "q_sample_stratified",
-    "q_seq_pack",
-    "q_subqueries",
-    "q_text_normalize",
-    "q_topk",
-    # -- round-5-green extras (minus the four in-window-twin variants) ------
-    "q_approx_count_distinct",
-    "q_date_bucket",
-    "q_dirty_filter",
-    "q_fanout_dup",
-    "q_field_drop",
-    "q_json_typed",
-    "q_lag_delta",
-    "q_md5_mask",
-    "q_moving_window",
-    "q_rep_filter",
-    "q_sketch_rollup",
+    # -- never driver-certified (ledger invariant, all 28) ------------------
+    "q_anomaly_zscore",
+    "q_assoc_rules",
+    "q_bloom_filter_join",
+    "q_bm25_search",
+    "q_corpus_overlap",
+    "q_dedup_block_scrub",
+    "q_dedup_embed_exact",
+    "q_dedup_prefix_filter",
+    "q_dist_drift",
+    "q_distinct_hll",
+    "q_dsir_weight",
+    "q_embed_ivf_multiprobe",
+    "q_embed_ivf_refined",
+    "q_event_transitions",
+    "q_funnel",
+    "q_heavy_hitters_cms",
+    "q_inverted_index",
+    "q_kmeans_assign",
+    "q_knn_graph",
+    "q_lm_bigram",
+    "q_pmi_collocations",
+    "q_quantile_hdr",
+    "q_resample_interp",
+    "q_resample_locf",
+    "q_retention",
+    "q_sample_weighted",
+    "q_scd2_history",
+    "q_shuffle_shards",
+    # -- round-5-stale how-variants (3 rounds old, past the target) ---------
+    "q_dedup_simhash",
+    "q_cluster_sort_bucketed",
+    "q_count_by_type_salted",
+    "q_enrich_join_salted",
+    # -- NULL-ts-hardened plans with only pre-hardening rows ----------------
+    "q_sessionize",
+    "q_session_window",
+    "q_window_sliding",
+    # -- stalest round-6 rows: bench headliners + widest primaries ----------
+    "q_broadcast_join",
+    "q_corpus_prep",
+    "q_count",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_embed_topk",
+    "q_gprs_pipeline",
+    "q_group_concat",
+    "q_join_bigbig",
+    "q_merge_upsert",
+    "q_multimodal_meta",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
 )
 
 

@@ -52,6 +52,7 @@ HDR_SUB_BITS = 5
 HDR_LIN = 1 << HDR_SUB_BITS  # 32: values below this get exact buckets
 # headline quantiles emitted by the batch query and the streaming twin
 HDR_QUANTILES_PPM = (500_000, 950_000, 990_000)
+HDR_Q_NAMES = {500_000: "p50", 950_000: "p95", 990_000: "p99"}
 
 
 def _spark_sql(v: str) -> tuple[str, str]:

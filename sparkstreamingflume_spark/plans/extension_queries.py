@@ -4667,6 +4667,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from sparkstreamingflume_spark.functions.hdr import (  # noqa: E402
+    HDR_Q_NAMES,
     HDR_QUANTILES_PPM,
     hdr_idx_mid,
     hdr_idx_mid_sql,
@@ -4677,7 +4678,7 @@ from sparkstreamingflume_spark.functions.hdr import (  # noqa: E402
 
 _HDR_IDX_SQL, _HDR_MID_SQL = hdr_idx_mid_sql("cents")
 
-_Q_NAMES = {500_000: "p50", 950_000: "p95", 990_000: "p99"}
+_Q_NAMES = HDR_Q_NAMES  # one shared name map (functions/hdr.py)
 
 
 def _quantile_hdr_oracle() -> str:

@@ -1,0 +1,222 @@
+"""Streaming HDR quantiles — the streaming twin of ``q_quantile_hdr``.
+
+The HDR histogram register (``functions/hdr.py``) is a MERGEABLE
+summary under cell-wise SUM: the register frame of a value stream is
+the sum of per-batch register frames, so a continuously-ingesting
+pipeline keeps per-group quantile estimates live without ever
+re-sorting history — each micro-batch contributes its own
+``(group, idx, mid, cnt)`` increment built by the SAME
+:func:`functions.hdr.hdr_registers` builder the certified batch query
+uses (one implementation, not a hand-synced twin), and any quantile
+can be read at any time from the summed registers via the same
+``rank_expr`` rule. Per-batch cost is O(|batch|); persisted state is
+at most ``|groups| * ~2k`` registers per batch before compaction.
+
+Index layout (plain parquet dirs — the registers are themselves a
+queryable Spark table and survive restarts with the checkpoint):
+
+* ``<index_dir>/delta`` — per-batch increments ``(g, idx, mid, cnt,
+  batch_id)``.
+* ``<index_dir>/base`` — the folded registers ``(g, idx, mid, cnt,
+  wm)`` written by :func:`compact_registers`; ``wm`` is the fold
+  watermark (largest batch_id whose increment is included).
+
+Idempotency: register counts are SUMS, so like the CMS twin
+(``streaming/sketch.py``) and unlike the max-merging HLL twin, a
+replayed already-folded batch must not be added twice — reads collapse
+replayed deltas by taking one increment per ``(batch_id, g, idx)``
+(increments are deterministic, duplicates are bit-identical), and the
+fold watermark makes replays of folded batches invisible. Compaction
+uses the list-first protocol (fold exactly the listed part-files,
+derive wm from the LISTED files' max batch_id, delete exactly the
+list), so it is safe to run concurrently with appends.
+
+The reference never maintained cross-batch aggregates (its DStream
+counters reset per batch); capability extension (SURVEY.md §2
+LLM-pipeline track).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreamingflume_spark.functions.hdr import (
+    HDR_Q_NAMES,
+    HDR_QUANTILES_PPM,
+    hdr_registers,
+    rank_expr,
+)
+from sparkstreamingflume_spark.streaming.neardup import (
+    _hadoop_fs,
+    _read_index,
+)
+
+DELTA_SCHEMA = "g string, idx long, mid long, cnt long, batch_id long"
+BASE_SCHEMA = "g string, idx long, mid long, cnt long, wm long"
+
+
+def _increment(batch: DataFrame) -> DataFrame:
+    """(g, idx, mid, cnt) register increment of one micro-batch — the
+    exact per-type cents construction of ``q_quantile_hdr`` (same
+    filters, same shared register builder)."""
+    vals = (
+        batch.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("cents") >= 1)
+    )
+    return hdr_registers(vals, "event_type", "cents")
+
+
+def hdr_update_batch(batch: DataFrame, batch_id: int, index_dir: str) -> None:
+    """foreachBatch callback: append this batch's register increment.
+    An empty (or all-invalid) batch appends zero rows — a no-op for
+    every read."""
+    (
+        _increment(batch)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(f"{index_dir}/delta")
+    )
+
+
+def attach_hdr(stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Wire a streaming event frame through the register sink."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: hdr_update_batch(b, i, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def read_registers(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged registers: (g, idx, mid, cnt) summed over base +
+    fresh deltas. The watermark is applied via a broadcast single-row
+    join; replayed deltas collapse through a per-(batch_id, g, idx)
+    max (increments are deterministic, so duplicates are
+    bit-identical)."""
+    base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
+    delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
+    wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
+    fresh = (
+        delta.join(F.broadcast(wm), F.col("batch_id") > F.col("wm"))
+        .groupBy("batch_id", "g", "idx")
+        .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt"))
+    )
+    return (
+        base.select("g", "idx", "mid", "cnt")
+        .unionByName(fresh.select("g", "idx", "mid", "cnt"))
+        .groupBy("g", "idx", "mid")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantiles(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-group quantile estimates from the live registers — the
+    streaming counterpart of q_quantile_hdr's register path (g, n_vals,
+    p50/p95/p99_est_cents), same cumulative-count rank rule, so the
+    stream and the certified batch query agree bit-for-bit on the same
+    ingested rows."""
+    regs = read_registers(spark, index_dir)
+    w_n = Window.partitionBy("g")
+    w_cum = Window.partitionBy("g").orderBy("idx")
+    cum = regs.withColumn("n", F.sum("cnt").over(w_n)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+    return cum.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_vals"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(rank_expr("n", q)), F.col("mid")
+                )
+            ).alias(f"{HDR_Q_NAMES[q]}_est_cents")
+            for q in HDR_QUANTILES_PPM
+        ],
+    )
+
+
+def compact_registers(spark: SparkSession, index_dir: str) -> dict:
+    """Fold delta files into ``base`` and advance the watermark.
+
+    List-first protocol (the concurrent-append-safe form shared with
+    :func:`streaming.sketch.compact_sketch`): fold exactly the listed
+    delta part-files, derive the new watermark from the LISTED files'
+    max batch_id, swap base in, then delete exactly the listed files —
+    a delta appended mid-fold survives unfolded and, if newer than
+    every listed file, stays above the watermark for every read.
+    Returns {rows_before, rows_after, wm, n_files} or {} when there is
+    nothing to fold.
+    """
+    fs, jroot = _hadoop_fs(spark, index_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    base_p, delta_p = f"{index_dir}/base", f"{index_dir}/delta"
+    jbase, jdelta = jvm_path(base_p), jvm_path(delta_p)
+    jold = jvm_path(f"{index_dir}/.base_old")
+    # sweep tmp dirs leaked by a fold that crashed mid-write
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            if st.getPath().getName().startswith(".base_compact_"):
+                fs.delete(st.getPath(), True)
+    # recover a crashed swap: old-with-no-live => rename back; else drop
+    if fs.exists(jold):
+        if fs.exists(jbase):
+            fs.delete(jold, True)
+        else:
+            fs.rename(jold, jbase)
+    if not fs.exists(jdelta):
+        return {}
+    files = [
+        st.getPath().toString()
+        for st in fs.listStatus(jdelta)
+        if st.getPath().getName().startswith("part-")
+    ]
+    if not files:
+        return {}
+    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
+    base = _read_index(spark, base_p, BASE_SCHEMA)
+    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
+    hi = delta.filter(F.col("batch_id") > wm_old).agg(
+        F.max("batch_id")
+    ).first()[0]
+    if hi is None:
+        # every listed row is a replay of an already-folded batch —
+        # reclaim exactly the listed files
+        for f in files:
+            fs.delete(jvm_path(f), False)
+        return {}
+    rows_before = delta.count() + base.count()
+    fresh = (
+        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
+        .groupBy("batch_id", "g", "idx")
+        .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt"))
+    )
+    folded = (
+        base.select("g", "idx", "mid", "cnt")
+        .unionByName(fresh.select("g", "idx", "mid", "cnt"))
+        .groupBy("g", "idx", "mid")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("wm", F.lit(int(hi)).cast("long"))
+    )
+    tmp = f"{index_dir}/.base_compact_tmp"
+    # <= |groups| * ~2k registers — one file
+    folded.repartition(1).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if fs.exists(jbase):
+        fs.rename(jbase, jold)
+    fs.rename(jvm_path(tmp), jbase)
+    fs.delete(jold, True)
+    # exactly the folded files — deltas appended mid-fold stay visible
+    for f in files:
+        fs.delete(jvm_path(f), False)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "wm": hi,
+        "n_files": len(files),
+    }

@@ -93,6 +93,15 @@ EXTRA_QUERIES = (
     # basket self-join co-partitioned on (user, day): per-basket output
     # is |types|^2-bounded, so the ratio gate proves linearity
     "q_assoc_rules",
+    # round-8: the late-round-7 snapshot trio. The bloom build is one
+    # combinable BIT_OR onto <= BF_WORDS rows and the fact side is
+    # scanned once — the ratio prices the probe-side expression chain;
+    # drift is one combinable groupBy onto <= |types| * ~2k registers;
+    # quantile_hdr DELIBERATELY carries the exact per-type sort the
+    # docstring says you'd drop at scale — its ratio prices that sort
+    "q_bloom_filter_join",
+    "q_dist_drift",
+    "q_quantile_hdr",
 )
 
 

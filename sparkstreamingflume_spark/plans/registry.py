@@ -111,11 +111,14 @@ def primary_queries() -> dict[str, Query]:
 # staleness target; (3) the three NULL-ts-hardened plans whose newest
 # row predates the hardening (q_sessionize, q_session_window,
 # q_window_sliding — the other three hardened plans got post-hardening
-# r7 rows); (4) fifteen of the 47 round-6-green queries, picked as the
-# bench headliners + widest primaries so the trend line re-anchors on
-# fresh rows. The 32 round-6-green queries left out rest one round on
-# validate.py + the oracle-extras pytest gate (same compare, run every
-# session); they are first in line for round 9.
+# r7 rows); (4) the round-8 newcomer q_dedup_semantic, so the
+# never-certified ledger closes the same round it reopens; (5)
+# fourteen of the 47 round-6-green queries, picked as the bench
+# headliners + widest primaries so the trend line re-anchors on fresh
+# rows. The 33 round-6-green queries left out (q_count rotated out for
+# the newcomer — certified r4 AND r6, trivial single-agg) rest one
+# round on validate.py + the oracle-extras pytest gate (same compare,
+# run every session); they are first in line for round 9.
 
 CERT_WINDOW: tuple[str, ...] = (
     # -- never driver-certified (ledger invariant, all 28) ------------------
@@ -156,10 +159,11 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_sessionize",
     "q_session_window",
     "q_window_sliding",
+    # -- round-8 newcomer (keeps the never-certified ledger closed) ---------
+    "q_dedup_semantic",
     # -- stalest round-6 rows: bench headliners + widest primaries ----------
     "q_broadcast_join",
     "q_corpus_prep",
-    "q_count",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",

@@ -115,6 +115,28 @@ def sessionize(
     )
 
 
+def _sorted_ts_us(batches, ts_col):
+    """All non-NULL timestamps of a group micro-batch as sorted int64
+    micros — the day-granular twins need only the time axis. Same
+    NULL-drop and nanos→micros pinning as ``_sorted_typed_recs``."""
+    import pandas as pd
+
+    out: list[int] = []
+    for pdf in batches:
+        col = pdf[ts_col]
+        col = col[col.notna()]
+        out.extend(
+            (
+                pd.to_datetime(col)
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            ).tolist()
+        )
+    out.sort()
+    return out
+
+
 def _sorted_typed_recs(batches, ts_col, type_col, id_col):
     """One (ts_us, type) record list per group micro-batch, ordered by
     (ts, id) — the shared ingest contract of the stateful twins below.
@@ -270,6 +292,231 @@ def regime_history(
         fn,
         outputStructType=REGIME_SCHEMA,
         stateStructType=_REGIME_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming retention: incremental cohort-activity deltas
+# ---------------------------------------------------------------------------
+
+RETENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cohort_day", T.LongType()),
+        T.StructField("offset_days", T.LongType()),
+        T.StructField("delta", T.LongType()),
+    ]
+)
+
+_RETENTION_STATE = "cohort_day LONG, seen_days ARRAY<LONG>"
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def retention_progress(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    timeout_s: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``q_retention`` (plans/relational_queries.py).
+
+    Emits ADDITIVE deltas: one ``(user_id, cohort_day, offset_days,
+    delta)`` row per newly observed active day of a user, where
+    ``cohort_day`` is the user's first-activity day and ``offset_days``
+    the active day's distance from it. Downstream,
+    ``SUM(delta) GROUP BY cohort_day, offset_days`` IS the batch
+    query's retention triangle (``n_active`` = distinct users), because
+    each user nets exactly one +1 per active day at their final cohort
+    assignment — the memory-sink fold in tests/test_stream_retention.py
+    certifies stream ≡ batch on the sf0.001 fixture.
+
+    Unlike the funnel/SCD2 twins this one is EXACT under out-of-order
+    arrival: a late event that predates the stored cohort day RETRACTS
+    every previously emitted row (-1 at the old cohort coordinates) and
+    re-emits it against the new cohort — possible here because the
+    state already carries every seen day, so the rewrite is local to
+    the key and stays additive for any downstream sum.
+
+    State is ``(cohort_day, seen_days[])`` per user — bounded by the
+    user's distinct active DAYS (calendar-bounded, not event-bounded).
+    Default ``timeout_s=None`` (NoTimeout) keeps exactness; passing a
+    TTL opts into eviction for unbounded key spaces, after which a
+    returning user re-cohorts at their next day WITHOUT retracting
+    pre-eviction rows — the documented divergence, mirroring
+    ``regime_history``.
+
+    Scale posture: state hash-partitioned by the groupBy, one array row
+    per user; emissions are increments (append mode), so the retention
+    triangle itself lives in the downstream agg, never in this
+    operator's state; no driver state.
+    """
+
+    def _emit(key, rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "cohort_day": [r[0] for r in rows],
+                "offset_days": [r[1] for r in rows],
+                "delta": [r[2] for r in rows],
+            }
+        )
+
+    def fn(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        days = sorted(
+            {t // _DAY_US for t in _sorted_ts_us(batches, ts_col)}
+        )
+        if state.exists:
+            cohort, seen_arr = state.get
+            seen = set(seen_arr)
+        else:
+            cohort, seen = None, set()
+        out = []
+        for d in days:
+            if cohort is None:
+                cohort = d
+                seen.add(d)
+                out.append((cohort, 0, 1))
+            elif d < cohort:
+                # retroactive cohort shift: retract + re-emit every day
+                out.extend((cohort, s - cohort, -1) for s in sorted(seen))
+                cohort = d
+                seen.add(d)
+                out.extend((cohort, s - cohort, 1) for s in sorted(seen))
+            elif d not in seen:
+                seen.add(d)
+                out.append((cohort, d - cohort, 1))
+        if cohort is not None:
+            state.update((cohort, sorted(seen)))
+            if timeout_s is not None:
+                state.setTimeoutDuration(timeout_s * 1000)
+        if out:
+            yield _emit(key, out)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=RETENTION_SCHEMA,
+        stateStructType=_RETENTION_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming event-transition counts: incremental Markov matrix deltas
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("type_from", T.StringType()),
+        T.StructField("type_to", T.StringType()),
+        T.StructField("delta", T.LongType()),
+    ]
+)
+
+# last_null distinguishes "last event had NULL type" from "no last
+# event" — same encoding rationale as _REGIME_STATE.
+_TRANSITION_STATE = "last_null BOOLEAN, last_type STRING"
+
+
+def transition_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+    timeout_s: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``q_event_transitions``
+    (plans/relational_queries.py).
+
+    Per key, each consecutive-event pair under the (``ts_col``,
+    ``id_col``) order contributes one ``(type_from, type_to, +1)``
+    delta; the last event's type persists in the state store so the
+    first event of the NEXT micro-batch pairs with it. Downstream,
+    ``SUM(delta) GROUP BY type_from, type_to`` IS the batch query's
+    transition matrix (``n_transitions``) — the predecessor-existence
+    rule matches the batch ``rn > 1`` exactly: a user's first-ever
+    event emits nothing, while a genuine NULL-typed predecessor DOES
+    emit (type_from NULL), carried by the explicit ``last_null`` state
+    flag. Deltas are pre-summed per (pair, micro-batch) so a hot key
+    emits at most |types|² rows per batch, not one per event.
+
+    In-order arrival across batches gives exact batch parity
+    (tests/test_stream_transitions.py); a late cross-batch event pairs
+    with the stored last event rather than its true predecessor — the
+    same inherent incremental divergence ``regime_history`` documents.
+
+    Default ``timeout_s=None`` (NoTimeout): state is ONE fixed-width
+    row per key, bounded by key cardinality, so eviction buys little;
+    a TTL opts in for unbounded key spaces, after which a returning
+    user's first event emits no transition (predecessor forgotten) —
+    the documented divergence.
+
+    Scale posture: one fixed-width state row per key, hash-partitioned;
+    emissions are increments (append mode); the |types|²-bounded
+    matrix lives in the downstream agg; no driver state.
+    """
+
+    def fn(key, batches, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        recs = _sorted_typed_recs(batches, ts_col, type_col, id_col)
+        if state.exists:
+            last_null, last_type = state.get
+            last = None if last_null else last_type
+            have_last = True
+        else:
+            last, have_last = None, False
+        counts: dict[tuple[str | None, str | None], int] = {}
+        for _, ty in recs:
+            if have_last:
+                pair = (last, ty)
+                counts[pair] = counts.get(pair, 0) + 1
+            last, have_last = ty, True
+        if have_last:
+            state.update((last is None, last))
+            if timeout_s is not None:
+                state.setTimeoutDuration(timeout_s * 1000)
+        if counts:
+            pairs = sorted(
+                counts,
+                key=lambda p: (p[0] is None, p[0] or "", p[1] is None, p[1] or ""),
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "type_from": [p[0] for p in pairs],
+                    "type_to": [p[1] for p in pairs],
+                    "delta": [counts[p] for p in pairs],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE,
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -406,11 +406,12 @@ def test_sketch_rollup_merge_tracks_exact(spark):
 def test_knn_graph_recall_and_invariants(spark):
     """q_knn_graph must (a) emit exactly KNN_K ranked neighbors per
     representative vector (cells at fixture scale are >> K), (b) agree
-    with an independent numpy exact-graph on every edge WITHIN a cell,
-    and (c) keep bounded edge recall vs the uncelled exact graph. The
-    synthetic embeddings are near-random, so cross-cell true neighbors
-    are common and the fixture recall floor is loose; real clustered
-    corpora concentrate true neighbors in the same cell."""
+    with an independent numpy exact-graph on every edge it scores, and
+    (c) keep edge recall >= 0.5 vs the uncelled exact graph — the
+    multiprobe (KNN_NPROBE=3) composition's contract. The synthetic
+    embeddings are near-random, the worst case for cell gating (true
+    neighbors scatter across cells); real clustered corpora sit
+    higher."""
     import math
 
     import numpy as np
@@ -462,4 +463,6 @@ def test_knn_graph_recall_and_invariants(spark):
         len({n for _, n, _ in got[q]} & set(exact[q])) for q in ids
     )
     recall = hits / (len(ids) * KNN_K)
-    assert recall >= 0.2, recall  # measured 0.252 (sf0.001) / 0.264 (sf0.01)
+    # measured 0.574 (sf0.001) / 0.587 (sf0.01) with nprobe=3, up from
+    # 0.252/0.264 single-probe at ~1.4x cost
+    assert recall >= 0.5, recall

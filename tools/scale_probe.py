@@ -102,6 +102,10 @@ EXTRA_QUERIES = (
     "q_bloom_filter_join",
     "q_dist_drift",
     "q_quantile_hdr",
+    # round-8: multiprobe kNN graph (nprobe=3 recall dial — the ratio
+    # prices the 3x candidate fan-out staying linear) and SemDeDup
+    # composed on top of it (edges + threshold + O(log n) CC rounds)
+    "q_dedup_semantic",
 )
 
 

@@ -5010,8 +5010,12 @@ def q_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounds-derived pattern), and per-period totals ride a window "
     "over the tiny register frame, not the raw events. ts/value NOT "
     "NULL and cents >= 1 mirrored both sides (an undated or "
-    "unvalued event belongs to no histogram). Extra: certified by "
-    "the pytest oracle gate.",
+    "unvalued event belongs to no histogram). Streaming twin: "
+    "streaming/drift.py reads the live HDR register index against a "
+    "reference snapshot (register subtraction), reproducing this "
+    "query bit-for-bit at the split point "
+    "(tests/test_stream_drift.py). Extra: certified by the pytest "
+    "oracle gate.",
     tags=("sketch", "agg", "pipeline"),
     extra=True,
 )

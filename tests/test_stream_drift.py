@@ -1,0 +1,126 @@
+"""Streaming drift monitor (streaming/drift.py).
+
+Certification is STREAM == BATCH: feed the fixture's first date-half
+through the shared HDR register callback, snapshot the reference, feed
+the second half, and require drift_since to reproduce the certified
+q_dist_drift output bit-for-bit (whose own correctness the DuckDB
+oracle gate and tests/test_hdr_bloom_pins.py carry) — register
+subtraction must isolate the second period exactly, under any batch
+granularity and across compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _halves(spark):
+    """The fixture rows of each date half, under exactly the batch
+    query's filters and split rule (global date bounds of the filtered
+    frame; first half = datediff(lo, d) * 2 <= datediff(lo, hi))."""
+    from sparkstreamingflume_spark.session import load_table
+
+    vals = (
+        load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .filter(F.floor(F.col("value") * 100).cast("long") >= 1)
+        .withColumn("d", F.to_date("ts"))
+    )
+    bounds = vals.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    tagged = vals.crossJoin(F.broadcast(bounds)).withColumn(
+        "first_half",
+        F.datediff("d", "lo") * 2 <= F.datediff("hi", "lo"),
+    )
+    a = tagged.filter("first_half").drop("d", "lo", "hi", "first_half")
+    b = tagged.filter("NOT first_half").drop("d", "lo", "hi", "first_half")
+    return a, b
+
+
+def _batch_output(spark):
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    return {
+        r["event_type"]: (r["n_a"], r["n_b"], r["tv_ppm"])
+        for r in REGISTRY["q_dist_drift"].build(spark, SF).collect()
+    }
+
+
+def _drift_output(spark, ix, ref):
+    from sparkstreamingflume_spark.streaming.drift import drift_since
+
+    return {
+        r["g"]: (r["n_a"], r["n_b"], r["tv_ppm"])
+        for r in drift_since(spark, str(ix), str(ref)).collect()
+    }
+
+
+def test_drift_since_reference_equals_batch(spark, tmp_path):
+    from sparkstreamingflume_spark.streaming.drift import (
+        snapshot_reference,
+    )
+    from sparkstreamingflume_spark.streaming.quantile import (
+        hdr_update_batch,
+    )
+
+    a, b = _halves(spark)
+    ix, ref = tmp_path / "ix", tmp_path / "ref"
+    hdr_update_batch(a, 0, str(ix))
+    n_ref = snapshot_reference(spark, str(ix), str(ref))
+    assert n_ref > 0
+    hdr_update_batch(b, 1, str(ix))
+    assert _drift_output(spark, ix, ref) == _batch_output(spark)
+
+
+def test_drift_exact_under_batch_splits_and_compaction(spark, tmp_path):
+    """Second period arrives in three batches with a compaction in the
+    middle; register subtraction still isolates it exactly. Identical
+    periods (reference snapshotted, nothing since) yield no row (n_b =
+    0, the batch HAVING)."""
+    from sparkstreamingflume_spark.streaming.drift import (
+        snapshot_reference,
+    )
+    from sparkstreamingflume_spark.streaming.quantile import (
+        compact_registers,
+        hdr_update_batch,
+    )
+
+    a, b = _halves(spark)
+    ix, ref = tmp_path / "ix", tmp_path / "ref"
+    hdr_update_batch(a, 0, str(ix))
+    snapshot_reference(spark, str(ix), str(ref))
+    # nothing ingested since the snapshot => every group dropped
+    assert _drift_output(spark, ix, ref) == {}
+    bb = b.withColumn(
+        "slice", F.col("event_id") % 3
+    )
+    hdr_update_batch(bb.filter("slice = 0").drop("slice"), 1, str(ix))
+    stats = compact_registers(spark, str(ix))
+    assert stats and stats["wm"] == 1
+    hdr_update_batch(bb.filter("slice = 1").drop("slice"), 2, str(ix))
+    hdr_update_batch(bb.filter("slice = 2").drop("slice"), 3, str(ix))
+    assert _drift_output(spark, ix, ref) == _batch_output(spark)
+
+
+def test_zero_drift_on_identical_distribution(spark, tmp_path):
+    """Feeding the SAME rows again after the snapshot gives tv_ppm <=
+    |buckets| (pure flooring residue, one ppm per bucket at most) for
+    every group — the 'no drift' reading."""
+    from sparkstreamingflume_spark.streaming.drift import (
+        snapshot_reference,
+    )
+    from sparkstreamingflume_spark.streaming.quantile import (
+        hdr_update_batch,
+    )
+
+    a, _ = _halves(spark)
+    ix, ref = tmp_path / "ix", tmp_path / "ref"
+    hdr_update_batch(a, 0, str(ix))
+    snapshot_reference(spark, str(ix), str(ref))
+    hdr_update_batch(a, 1, str(ix))  # identical second period
+    got = _drift_output(spark, ix, ref)
+    assert got
+    for g, (n_a, n_b, tv) in got.items():
+        assert n_a == n_b, g
+        assert tv == 0, (g, tv)  # identical counts => identical ppm floors

@@ -80,6 +80,10 @@ def main() -> None:
         # weight class as cms (one combinable agg + KB parquet write)
         "hll": 5,
         "hll_compact": 10,
+        # hdr appends <= |types| * ~2k register rows per batch — same
+        # weight class again; the fold is O(registers) = constant
+        "hdr": 5,
+        "hdr_compact": 10,
     }.get(mode, 2)
     # box-speed compensation without editing the mode table: the
     # Python-stateful floor scales with host speed (the round-8 box runs
@@ -442,6 +446,69 @@ def main() -> None:
             .start()
         )
         transformed = None
+    elif mode in ("hdr", "hdr_compact"):
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import quantile as HQ
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_hdr_")
+        # heavy-tailed values over 5 types: value cents span ~6 octaves
+        # via a squared ramp, so the log-linear registers fill across
+        # their range while staying <= |types| * ~2k rows — the same
+        # bounded-state contract as cms/hll, with the register (not the
+        # raw stream) as the only growing artifact. The same index also
+        # serves streaming/drift.py reads.
+        types = F.array(
+            *[
+                F.lit(t)
+                for t in ("click", "view", "purchase", "signup", "error")
+            ]
+        )
+        ramp = (F.col("value") % 1000).cast("double")
+        ev = rate.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("user_id"),
+            F.element_at(types, (F.col("value") % 5 + 1).cast("int")).alias(
+                "event_type"
+            ),
+            ((ramp * ramp + F.lit(100.0)) / 100.0).alias("value"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _hdr_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/delta/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/base/*.parquet")
+            )
+
+        def _hdr_cb(b, bid):
+            HQ.hdr_update_batch(b, bid, ix_dir)
+            if mode == "hdr_compact" and bid > 0 and bid % compact_every == 0:
+                files_before = _hdr_files()
+                t0 = time.time()
+                st = HQ.compact_registers(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _hdr_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            ev.writeStream.foreachBatch(_hdr_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
@@ -606,6 +673,28 @@ def main() -> None:
             out["register_rows"] = HL.read_registers(spark, ix_dir).count()
             out["index_files_final"] = _reg_files()
             if mode == "hll_compact":
+                out["compactions"] = compactions
+        elif mode in ("hdr", "hdr_compact"):
+            from sparkstreamingflume_spark.streaming import quantile as HQ
+
+            # end-of-run estimate sanity: cents = (r^2+100) for
+            # r = value % 1000 uniform, so the true p50 of cents is
+            # ~ (500^2+100) = 250100 and p99 ~ (990^2+100) = 980200;
+            # HDR buckets guarantee <= ~1.6% relative error — 5% bounds
+            # leave room for per-type sampling noise
+            qs = {
+                r["g"]: (r["n_vals"], r["p50_est_cents"], r["p99_est_cents"])
+                for r in HQ.quantiles(spark, ix_dir).collect()
+            }
+            out["quantiles_per_type"] = qs
+            ok = all(
+                abs(p50 - 250_100) <= 12_500 and abs(p99 - 980_200) <= 49_000
+                for (_, p50, p99) in qs.values()
+            )
+            out["quantile_sanity_ok"] = bool(qs) and ok
+            out["register_rows"] = HQ.read_registers(spark, ix_dir).count()
+            out["index_files_final"] = _hdr_files()
+            if mode == "hdr_compact":
                 out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))

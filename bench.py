@@ -69,11 +69,34 @@ def main() -> None:
         ).save()
         return time.time() - t0
 
+    def canary() -> float:
+        """Fixed-work host-speed microbench: md5-aggregate 10M
+        generated rows — pure JVM CPU, no I/O, no data dependence, so
+        its wall-clock moves ONLY with box speed. Recorded in the
+        artifact so the round-over-round trend can be normalized when
+        the driver lands on a slower host (rounds 7 and 8 each carried
+        a ~30% environmental confound that had to be argued from
+        prose; canary_sec makes it arithmetic)."""
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        (
+            spark.range(10_000_000)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.count(F.when(F.col("h") > "f0", 1)))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
     # Warm-up: file listing + one full pass (JVM/codegen/AQE first-touch).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    canary()  # untimed warm-up of the canary plan too
     for name in names:
         run(name)
 
+    canary_sec = round(statistics.median(canary() for _ in range(3)), 3)
     samples = {name: [run(name) for _ in range(n_iters)] for name in names}
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
@@ -88,6 +111,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iters": n_iters,
                 "agg": "median",
+                "canary_sec": canary_sec,
             }
         )
     )

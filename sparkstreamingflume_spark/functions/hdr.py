@@ -126,20 +126,34 @@ def rank_py(n: int, q_ppm: int) -> int:
 
 
 def hdr_registers(
-    df: DataFrame, group_col: str, cents_col: str
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(group, idx, mid, cnt) register frame of a value frame — the ONE
-    builder shared by the batch query (``q_quantile_hdr``) and the
-    streaming twin's per-batch increment, so the certified batch plan
-    and the stream maintain the same registers by construction.
+    """(group, idx, mid, [extras...], cnt) register frame of a value
+    frame — the ONE builder shared by the batch query
+    (``q_quantile_hdr``) and the streaming twin's per-batch increment,
+    so the certified batch plan and the stream maintain the same
+    registers by construction.
+
+    ``extra_group_cols`` adds low-cardinality register dimensions
+    (e.g. the streaming index's ``dated`` flag, which lets ONE
+    register stream serve both the quantile reader — sums over every
+    dimension value — and the drift reader, which must mirror
+    ``q_dist_drift``'s ``ts IS NOT NULL`` contract). The default keeps
+    the certified batch layout bit-identical.
 
     One combinable groupBy: per group the register population is
-    bounded by the bucket count (~2k for full BIGINT range), not the
-    row count.
+    bounded by the bucket count (~2k for full BIGINT range) times the
+    extra-dimension cardinality, not the row count.
     """
     idx, mid = hdr_idx_mid(cents_col)
+    keys = ["g", "idx", "mid", *extra_group_cols]
     return (
-        df.select(F.col(group_col).alias("g"), idx, mid)
-        .groupBy("g", "idx", "mid")
+        df.select(
+            F.col(group_col).alias("g"), idx, mid, *extra_group_cols
+        )
+        .groupBy(*keys)
         .agg(F.count("*").alias("cnt"))
     )

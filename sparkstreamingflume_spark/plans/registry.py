@@ -100,82 +100,81 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-8 ROTATION: the ledger invariant ("no never-driver-certified
-# names") reopened when late-round-7 sessions landed 28 new oracle
-# queries — all 28 are cross-engine-green on the pytest gate
-# (tests/test_oracle_extras.py) and tools/validate.py, but have never
-# had a driver CORRECTNESS row. They take the first 28 slots. Next:
-# (2) the four round-5-stale how-variants (q_dedup_simhash,
-# q_cluster_sort_bucketed, q_count_by_type_salted, q_enrich_join_salted)
-# — three rounds old by r8, past the "no row older than two rounds"
-# staleness target; (3) the three NULL-ts-hardened plans whose newest
-# row predates the hardening (q_sessionize, q_session_window,
-# q_window_sliding — the other three hardened plans got post-hardening
-# r7 rows); (4) the round-8 newcomer q_dedup_semantic, so the
-# never-certified ledger closes the same round it reopens; (5)
-# fourteen of the 47 round-6-green queries, picked as the bench
-# headliners + widest primaries so the trend line re-anchors on fresh
-# rows. The 33 round-6-green queries left out (q_count rotated out for
-# the newcomer — certified r4 AND r6, trivial single-agg) rest one
-# round on validate.py + the oracle-extras pytest gate (same compare,
-# run every session); they are first in line for round 9.
+# ROUND-9 ROTATION (the round-8 verdict's prescribed set): (1) the 30
+# queries whose newest driver row is round 6 — exactly the staleness
+# frontier ("no row older than two rounds" means every r6 row must
+# re-certify in r9); (2) the round-9 plan changes — q_knn_graph (body
+# refactored into the parametrized knn_graph helper; same default
+# plan, but the lineage changed), q_dedup_semantic (now built through
+# the shared _semantic_clusters increment), and the round-9 newcomer
+# q_dedup_semantic_from_graph (the materialized-graph form — certifying
+# it keeps the never-driver-certified ledger closed the round it
+# opens); (3) the 12 bench headliners, so BENCH_r09's trend line
+# re-anchors on fresh correctness rows (q_sessionize also carries the
+# new streaming-sessions twin's batch anchor); (4) five of the 50
+# round-7-green queries that would hit the staleness frontier next
+# round, picked widest (pagerank / asof / range join / dedup clusters /
+# embed cosine). The remaining 45 round-7-green queries rest on
+# validate.py + the oracle-extras pytest gate (same compare, run every
+# session) and are first in line for round 10; staleness is now
+# readable per-query from SURVEY §2.10's "last driver round" column
+# (tools/gen_registry_table.py).
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- never driver-certified (ledger invariant, all 28) ------------------
-    "q_anomaly_zscore",
-    "q_assoc_rules",
-    "q_bloom_filter_join",
-    "q_bm25_search",
-    "q_corpus_overlap",
-    "q_dedup_block_scrub",
-    "q_dedup_embed_exact",
-    "q_dedup_prefix_filter",
-    "q_dist_drift",
-    "q_distinct_hll",
-    "q_dsir_weight",
-    "q_embed_ivf_multiprobe",
-    "q_embed_ivf_refined",
-    "q_event_transitions",
-    "q_funnel",
-    "q_heavy_hitters_cms",
-    "q_inverted_index",
-    "q_kmeans_assign",
+    # -- the 30 round-6-stale rows (the staleness frontier) -----------------
+    "q_anti_join",
+    "q_approx_percentile",
+    "q_count",
+    "q_dedup_block",
+    "q_dedup_candidates_verified",
+    "q_dedup_containment",
+    "q_dedup_embed_cosine_bruteforce",
+    "q_dedup_embed_lsh",
+    "q_dedup_incremental",
+    "q_doc_chunk",
+    "q_doc_fingerprint",
+    "q_embed_ivf",
+    "q_embed_ivf_search",
+    "q_grouping_sets",
+    "q_lm_score",
+    "q_percentile",
+    "q_rank_topn_per_group",
+    "q_rollup",
+    "q_sample_per_group",
+    "q_semi_anti",
+    "q_semi_join",
+    "q_set_ops",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_topterms",
+    "q_tfidf",
+    "q_token_count",
+    "q_train_test_split",
+    "q_window_suite",
+    # -- round-9 plan changes + newcomer ------------------------------------
     "q_knn_graph",
-    "q_lm_bigram",
-    "q_pmi_collocations",
-    "q_quantile_hdr",
-    "q_resample_interp",
-    "q_resample_locf",
-    "q_retention",
-    "q_sample_weighted",
-    "q_scd2_history",
-    "q_shuffle_shards",
-    # -- round-5-stale how-variants (3 rounds old, past the target) ---------
-    "q_dedup_simhash",
-    "q_cluster_sort_bucketed",
-    "q_count_by_type_salted",
-    "q_enrich_join_salted",
-    # -- NULL-ts-hardened plans with only pre-hardening rows ----------------
-    "q_sessionize",
-    "q_session_window",
-    "q_window_sliding",
-    # -- round-8 newcomer (keeps the never-certified ledger closed) ---------
     "q_dedup_semantic",
-    # -- stalest round-6 rows: bench headliners + widest primaries ----------
-    "q_broadcast_join",
-    "q_corpus_prep",
+    "q_dedup_semantic_from_graph",
+    # -- bench headliners (trend line re-anchors on fresh rows) -------------
+    "q_tpch_q1",
+    "q_window_sliding",
     "q_dedup_exact",
+    "q_join_bigbig",
+    "q_embed_topk",
+    "q_broadcast_join",
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
-    "q_embed_topk",
-    "q_gprs_pipeline",
     "q_group_concat",
-    "q_join_bigbig",
-    "q_merge_upsert",
-    "q_multimodal_meta",
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
+    "q_sessionize",
+    "q_gprs_pipeline",
+    "q_corpus_prep",
+    # -- widest round-7 rows at next round's staleness frontier -------------
+    "q_pagerank",
+    "q_asof_join",
+    "q_range_join",
+    "q_dedup_clusters",
+    "q_dedup_embed_cosine",
 )
 
 

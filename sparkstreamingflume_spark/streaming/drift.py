@@ -1,10 +1,16 @@
 """Streaming distribution-drift monitor — streaming twin of ``q_dist_drift``.
 
-Reuses the HDR register index of ``streaming/quantile.py`` verbatim —
-the same foreachBatch callback, the same ``(g, idx, cnt)``
-sum-mergeable registers over the ``functions/hdr.py`` buckets — so ONE
-register stream serves live quantiles AND drift monitoring; this module
-adds only reads.
+Reuses the HDR register index of ``streaming/quantile.py`` — the same
+foreachBatch callback, the same sum-mergeable registers over the
+``functions/hdr.py`` buckets — so ONE register stream serves live
+quantiles AND drift monitoring; this module adds only reads. The two
+batch contracts differ on undated events (``q_quantile_hdr`` admits
+``ts IS NULL`` values; ``q_dist_drift`` filters them — an undated
+event belongs to no period histogram), so the shared index carries a
+``dated`` register dimension: quantile reads sum over it, drift reads
+keep only ``dated`` registers. Both twins therefore mirror their batch
+query exactly, including on streams containing NULL-ts events (pinned
+in tests/test_stream_drift.py::test_null_ts_events_split_the_consumers).
 
 The batch query contrasts the first and second halves of the date range
 retrospectively. The streaming form contrasts the LIVE registers
@@ -34,24 +40,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.streaming.neardup import _read_index
+from sparkstreamingflume_spark.streaming.neardup import (
+    _hadoop_fs,
+    _read_index,
+)
 from sparkstreamingflume_spark.streaming.quantile import read_registers
 
 REF_SCHEMA = "g string, idx long, cnt long"
 
 
+def _recover_ref(spark: SparkSession, ref_dir: str) -> None:
+    """Recover a snapshot swap that crashed between the two renames —
+    the compact_registers recover-first rule: an ``.old`` dir with no
+    live dir is the previous snapshot, renamed back; with a live dir
+    it is debris, deleted."""
+    fs, _ = _hadoop_fs(spark, ref_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    jref = jvm_path(ref_dir)
+    jold = jvm_path(ref_dir.rstrip("/") + ".old")
+    if fs.exists(jold):
+        if fs.exists(jref):
+            fs.delete(jold, True)
+        else:
+            fs.rename(jold, jref)
+
+
 def snapshot_reference(
     spark: SparkSession, index_dir: str, ref_dir: str
 ) -> int:
-    """Persist the CURRENT merged registers as the drift reference.
+    """Persist the CURRENT merged dated registers as the drift
+    reference (``q_dist_drift``'s ``ts IS NOT NULL`` contract).
 
-    Returns the number of reference rows. Overwrites any previous
+    Returns the number of reference rows. Replaces any previous
     snapshot (the gate compares against one blessed state at a time;
-    keep dated dirs for history).
+    keep dated dirs for history) via the compact_registers swap
+    protocol — write to a tmp dir, rename old aside, rename tmp in,
+    recover on crash — so a concurrent :func:`drift_since` read never
+    sees a partial or empty reference (round-8 ADVICE; the unsafe
+    window shrinks from a full rewrite to one rename pair, and
+    recovery restores the previous snapshot).
     """
-    regs = read_registers(spark, index_dir).select("g", "idx", "cnt")
+    regs = read_registers(spark, index_dir, dated_only=True).select(
+        "g", "idx", "cnt"
+    )
+    fs, _ = _hadoop_fs(spark, ref_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    jref = jvm_path(ref_dir)
+    jold = jvm_path(ref_dir.rstrip("/") + ".old")
+    tmp = ref_dir.rstrip("/") + ".tmp"
+    jtmp = jvm_path(tmp)
+    _recover_ref(spark, ref_dir)
+    if fs.exists(jtmp):  # debris from a fold that crashed mid-write
+        fs.delete(jtmp, True)
     # histogram-sized (<= |groups| * ~2k rows) — one file
-    regs.repartition(1).write.mode("overwrite").parquet(ref_dir)
+    regs.repartition(1).write.mode("overwrite").parquet(tmp)
+    if fs.exists(jref):
+        fs.rename(jref, jold)
+    fs.rename(jtmp, jref)
+    fs.delete(jold, True)
     return spark.read.schema(REF_SCHEMA).parquet(ref_dir).count()
 
 
@@ -67,8 +113,13 @@ def drift_since(
     halved; groups missing either period are dropped (the batch
     HAVING). Registers only grow, so live - reference is never
     negative; a group/bucket absent from one side counts 0 there.
+    Both sides read dated registers only — an undated event belongs to
+    no period histogram, exactly the batch query's filter.
     """
-    live = read_registers(spark, index_dir).select("g", "idx", "cnt")
+    _recover_ref(spark, ref_dir)
+    live = read_registers(spark, index_dir, dated_only=True).select(
+        "g", "idx", "cnt"
+    )
     ref = _read_index(spark, ref_dir, REF_SCHEMA)
     joined = live.alias("l").join(
         ref.alias("r"),

@@ -52,23 +52,40 @@ from sparkstreamingflume_spark.streaming.neardup import (
     _read_index,
 )
 
-DELTA_SCHEMA = "g string, idx long, mid long, cnt long, batch_id long"
-BASE_SCHEMA = "g string, idx long, mid long, cnt long, wm long"
+DELTA_SCHEMA = (
+    "g string, idx long, mid long, dated boolean, cnt long, batch_id long"
+)
+BASE_SCHEMA = "g string, idx long, mid long, dated boolean, cnt long, wm long"
 
 
 def _increment(batch: DataFrame) -> DataFrame:
-    """(g, idx, mid, cnt) register increment of one micro-batch — the
-    exact per-type cents construction of ``q_quantile_hdr`` (same
-    filters, same shared register builder)."""
+    """(g, idx, mid, dated, cnt) register increment of one micro-batch
+    — the exact per-type cents construction of ``q_quantile_hdr``
+    (same filters, same shared register builder).
+
+    The ``dated`` flag (``ts IS NOT NULL``) is the one extra register
+    dimension that lets a SINGLE index serve both consumers exactly:
+    the quantile reader sums over both flag values (``q_quantile_hdr``
+    admits undated values), while the drift reader keeps only dated
+    registers (``q_dist_drift`` filters ``ts IS NOT NULL`` — an
+    undated event belongs to no period histogram). Without it, an
+    undated-but-valued event would count toward drift's n_b while
+    belonging to no batch histogram (round-8 ADVICE). A stream with no
+    ``ts`` column at all is wholly undated — quantiles work, drift
+    (which needs a time axis) sees nothing, the right degradation."""
+    dated = (
+        F.col("ts").isNotNull() if "ts" in batch.columns else F.lit(False)
+    )
     vals = (
         batch.filter(F.col("value").isNotNull())
         .select(
             "event_type",
             F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            dated.alias("dated"),
         )
         .filter(F.col("cents") >= 1)
     )
-    return hdr_registers(vals, "event_type", "cents")
+    return hdr_registers(vals, "event_type", "cents", ("dated",))
 
 
 def hdr_update_batch(batch: DataFrame, batch_id: int, index_dir: str) -> None:
@@ -94,25 +111,34 @@ def attach_hdr(stream: DataFrame, index_dir: str, checkpoint_dir: str):
     )
 
 
-def read_registers(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_registers(
+    spark: SparkSession, index_dir: str, dated_only: bool = False
+) -> DataFrame:
     """The merged registers: (g, idx, mid, cnt) summed over base +
     fresh deltas. The watermark is applied via a broadcast single-row
-    join; replayed deltas collapse through a per-(batch_id, g, idx)
-    max (increments are deterministic, so duplicates are
-    bit-identical)."""
+    join; replayed deltas collapse through a per-(batch_id, g, idx,
+    dated) max (increments are deterministic, so duplicates are
+    bit-identical).
+
+    ``dated_only=True`` keeps only registers built from ``ts IS NOT
+    NULL`` rows — the drift reader's view (``q_dist_drift``'s
+    contract); the default sums over both flag values — the quantile
+    reader's view (``q_quantile_hdr``'s contract)."""
     base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
     delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
     fresh = (
         delta.join(F.broadcast(wm), F.col("batch_id") > F.col("wm"))
-        .groupBy("batch_id", "g", "idx")
+        .groupBy("batch_id", "g", "idx", "dated")
         .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt"))
     )
-    return (
-        base.select("g", "idx", "mid", "cnt")
-        .unionByName(fresh.select("g", "idx", "mid", "cnt"))
-        .groupBy("g", "idx", "mid")
-        .agg(F.sum("cnt").alias("cnt"))
+    merged = base.select("g", "idx", "mid", "dated", "cnt").unionByName(
+        fresh.select("g", "idx", "mid", "dated", "cnt")
+    )
+    if dated_only:
+        merged = merged.filter(F.col("dated"))
+    return merged.groupBy("g", "idx", "mid").agg(
+        F.sum("cnt").alias("cnt")
     )
 
 
@@ -193,13 +219,13 @@ def compact_registers(spark: SparkSession, index_dir: str) -> dict:
     rows_before = delta.count() + base.count()
     fresh = (
         delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
-        .groupBy("batch_id", "g", "idx")
+        .groupBy("batch_id", "g", "idx", "dated")
         .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt"))
     )
     folded = (
-        base.select("g", "idx", "mid", "cnt")
-        .unionByName(fresh.select("g", "idx", "mid", "cnt"))
-        .groupBy("g", "idx", "mid")
+        base.select("g", "idx", "mid", "dated", "cnt")
+        .unionByName(fresh.select("g", "idx", "mid", "dated", "cnt"))
+        .groupBy("g", "idx", "mid", "dated")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("wm", F.lit(int(hi)).cast("long"))
     )

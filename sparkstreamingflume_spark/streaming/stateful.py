@@ -441,11 +441,20 @@ def transition_counts(
     ts_col: str = "ts",
     key_col: str = "user_id",
     type_col: str = "event_type",
-    id_col: str | None = None,
+    id_col: str | None = "event_id",
     timeout_s: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``q_event_transitions``
     (plans/relational_queries.py).
+
+    ``id_col`` defaults to ``event_id`` — the batch query's (ts,
+    event_id) total order — so equal-ts events within a batch pair
+    deterministically by default (round-8 ADVICE); pass ``None`` for
+    frames without an id column, accepting undefined equal-ts order.
+    For high-rate streams prefer the zero-Python foreachBatch twin
+    (``streaming/transitions.py``), which computes the same deltas
+    JVM-side; this in-flight form remains for topologies that need the
+    deltas as a streaming frame.
 
     Per key, each consecutive-event pair under the (``ts_col``,
     ``id_col``) order contributes one ``(type_from, type_to, +1)``

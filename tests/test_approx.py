@@ -466,3 +466,17 @@ def test_knn_graph_recall_and_invariants(spark):
     # measured 0.574 (sf0.001) / 0.587 (sf0.01) with nprobe=3, up from
     # 0.252/0.264 single-probe at ~1.4x cost
     assert recall >= 0.5, recall
+
+    # (d) the invariant the multiprobe change actually introduced,
+    # robust to fixture drift (round-8 ADVICE): probing more cells
+    # strictly improves recall over single-probe on this worst-case
+    # near-random fixture
+    from sparkstreamingflume_spark.plans.extension_queries import knn_graph
+
+    single = {}
+    for r in knn_graph(spark, sf, nprobe=1).collect():
+        single.setdefault(r.q_id, set()).add(r.nbr_id)
+    single_hits = sum(
+        len(single.get(q, set()) & set(exact[q])) for q in ids
+    )
+    assert hits > single_hits, (hits, single_hits)

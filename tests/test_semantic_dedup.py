@@ -106,6 +106,52 @@ def test_semantic_dedup_planted_clusters(spark, tmp_path):
         con.close()
 
 
+def test_from_graph_form_equals_inline(spark, tmp_path, monkeypatch):
+    """q_dedup_semantic_from_graph (materialize once, run the CC
+    increment from the parquet edges) must equal the inline form
+    row-for-row on the driver fixture AND on the planted corpus; the
+    second run must reuse the cache (no rewrite — the production
+    claim that the graph is paid once per corpus snapshot)."""
+    import os
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_GRAPH_DIR", str(tmp_path / "graph_cache")
+    )
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        materialize_knn_graph,
+    )
+
+    for sf in (SRC, _planted_sf(tmp_path)):
+        inline = {
+            tuple(r)
+            for r in REGISTRY["q_dedup_semantic"].build(spark, sf).collect()
+        }
+        composed = {
+            tuple(r)
+            for r in REGISTRY["q_dedup_semantic_from_graph"]
+            .build(spark, sf)
+            .collect()
+        }
+        assert composed == inline
+        # cache reuse: the parquet files are untouched by a second run
+        path = materialize_knn_graph(spark, sf)
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+        again = {
+            tuple(r)
+            for r in REGISTRY["q_dedup_semantic_from_graph"]
+            .build(spark, sf)
+            .collect()
+        }
+        assert again == inline
+        assert mtimes == {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        }
+
+
 def test_knn_graph_planted_edges(spark, tmp_path):
     """The underlying graph on the same plant: v8's list contains v0
     with the engineered score; the v8-v9 pair IS scored (same home

@@ -103,6 +103,46 @@ def test_drift_exact_under_batch_splits_and_compaction(spark, tmp_path):
     assert _drift_output(spark, ix, ref) == _batch_output(spark)
 
 
+def test_null_ts_events_split_the_consumers(spark, tmp_path):
+    """Round-8 ADVICE pin: undated-but-valued events must count toward
+    the QUANTILE reader (q_quantile_hdr admits ts IS NULL) but belong
+    to NO drift period (q_dist_drift filters ts IS NOT NULL). Feed the
+    second half with extra NULL-ts rows: drift_since must still equal
+    the batch query bit-for-bit, while the live quantile registers
+    carry exactly the extra rows."""
+    from sparkstreamingflume_spark.streaming.drift import (
+        snapshot_reference,
+    )
+    from sparkstreamingflume_spark.streaming.quantile import (
+        hdr_update_batch,
+        read_registers,
+    )
+
+    a, b = _halves(spark)
+    ix, ref = tmp_path / "ix", tmp_path / "ref"
+    hdr_update_batch(a, 0, str(ix))
+    snapshot_reference(spark, str(ix), str(ref))
+    # 7 valued-but-undated events: invisible to drift, visible to quantiles
+    undated = (
+        b.limit(7)
+        .withColumn("ts", F.lit(None).cast("timestamp"))
+        .withColumn("value", F.col("value") + 1.0)
+    )
+    hdr_update_batch(b.unionByName(undated), 1, str(ix))
+    assert _drift_output(spark, ix, ref) == _batch_output(spark)
+    total = (
+        read_registers(spark, str(ix))
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    dated = (
+        read_registers(spark, str(ix), dated_only=True)
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    assert total == dated + 7
+
+
 def test_zero_drift_on_identical_distribution(spark, tmp_path):
     """Feeding the SAME rows again after the snapshot gives tv_ppm <=
     |buckets| (pure flooring residue, one ppm per bucket at most) for

@@ -1,0 +1,155 @@
+"""kNN-graph recall/cost frontier (round-9 verdict task 4).
+
+Measures edge recall vs the uncelled exact graph and wall-clock cost
+for the multiprobe dial of ``knn_graph`` (plans/extension_queries.py):
+query-side nprobe in {1, 2, 3, 5, 8} plus symmetric index-side
+multiprobe points — the residual recall lever where a true neighbor's
+HOME cell is outside every probed cell but a shared NEAR cell exists.
+
+The synthetic fixture embeddings are near-random (the worst case for
+cell gating: true neighbors scatter uniformly across cells, so recall
+here is a FLOOR; clustered corpora concentrate neighbors in adjacent
+cells). To show the clustered-regime number too, the tool also builds
+a planted-clusters fixture (CLUSTERED rows = Gaussian blobs around
+random centers) and measures the same frontier on it.
+
+Usage: python tools/knn_frontier.py [sf_dir] — prints one JSON line
+per (fixture, nprobe, index_nprobe) point; paste the table into
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+POINTS = [(1, 1), (2, 1), (3, 1), (5, 1), (8, 1), (3, 2), (3, 3)]
+# planted fixtures sized so adaptive K = n/500 = 40 cells >> max nprobe
+# (the driver fixtures have only 8 cells, where nprobe=8 IS brute force
+# and the cost curve is invisible)
+N_PLANTED = 20_000
+DIM = 64
+N_BLOBS = 40
+
+
+def _exact_graph(vecs: dict, k: int) -> dict:
+    import numpy as np
+
+    ids = np.array(sorted(vecs))
+    mat = np.stack([vecs[i] for i in ids])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.floor(
+        (mat @ mat.T) * 1_000_000.0 / np.outer(norms, norms)
+    ).astype("int64")
+    np.fill_diagonal(sims, np.iinfo("int64").min)
+    out = {}
+    margin = min(len(ids) - 1, k + 32)  # headroom for ppm ties
+    for qi, q in enumerate(ids):
+        cand = np.argpartition(-sims[qi], margin - 1)[:margin]
+        order = cand[np.lexsort((ids[cand], -sims[qi][cand]))][:k]
+        out[int(q)] = {int(ids[i]) for i in order}
+    return out
+
+
+def _recall(got: dict, exact: dict, k: int) -> float:
+    hits = sum(len(set(got.get(q, ())) & exact[q]) for q in exact)
+    return hits / (len(exact) * k)
+
+
+def _measure(spark, sf_dir: str, fixture: str) -> list[dict]:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        KNN_K,
+        knn_graph,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vecs = {
+        i: np.array(e, dtype=np.float64)
+        for i, e in zip(tbl["vec_id"], tbl["embedding"])
+        if e is not None and not any(x is None for x in e)
+    }
+    # mirror the engine's exact-dup collapse (copy-sets reduce to their
+    # min-id representative BEFORE the graph) or recall is understated
+    # on fixtures with duplicate vectors
+    seen: dict = {}
+    for i in sorted(vecs):
+        seen.setdefault(vecs[i].tobytes(), i)
+    vecs = {i: vecs[i] for i in seen.values()}
+    exact = _exact_graph(vecs, KNN_K)
+    rows = []
+    base_sec = None
+    # untimed warmup so the first point doesn't absorb JVM/codegen cost
+    knn_graph(spark, sf_dir, nprobe=1).count()
+    for nprobe, inprobe in POINTS:
+        t0 = time.time()
+        got: dict = {}
+        for r in knn_graph(
+            spark, sf_dir, nprobe=nprobe, index_nprobe=inprobe
+        ).collect():
+            got.setdefault(r.q_id, set()).add(r.nbr_id)
+        sec = time.time() - t0
+        if base_sec is None:
+            base_sec = sec
+        row = {
+            "fixture": fixture,
+            "nprobe": nprobe,
+            "index_nprobe": inprobe,
+            "recall": round(_recall(got, exact, KNN_K), 3),
+            "sec": round(sec, 2),
+            "cost_x": round(sec / base_sec, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+def _planted_dir(spark, clustered: bool) -> str:
+    """Write an N_PLANTED-vector fixture (Gaussian blobs when
+    ``clustered``, pure Gaussians otherwise) shaped like the driver
+    table, under /tmp — sized so adaptive K = 40 cells and the cost
+    curve reflects the cells << corpus regime."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    rng = np.random.default_rng(9 if clustered else 10)
+    centers = rng.normal(size=(N_BLOBS, DIM))
+    rows = []
+    for i in range(N_PLANTED):
+        if clustered:
+            v = centers[i % N_BLOBS] + rng.normal(scale=0.35, size=DIM)
+        else:
+            v = rng.normal(size=DIM)
+        rows.append((i, v.tolist()))
+    d = tempfile.mkdtemp(prefix="knn_frontier_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from sparkstreamingflume_spark.session import get_session
+
+    spark = get_session("knn_frontier")
+    _measure(spark, sf_dir, f"driver ({sf_dir.rsplit('/', 1)[-1]}, 8 cells)")
+    _measure(
+        spark, _planted_dir(spark, False), "near-random 20k (40 cells)"
+    )
+    _measure(
+        spark, _planted_dir(spark, True), "clustered 20k (40 blobs/cells)"
+    )
+
+
+if __name__ == "__main__":
+    main()

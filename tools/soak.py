@@ -68,6 +68,11 @@ def main() -> None:
         # groups); retention additionally grows an array-state column
         "retention": 20,
         "transitions": 20,
+        # the zero-Python twin's floor is index reads + two parquet
+        # writes + checkpoint commit (neardup's weight class) — it gets
+        # the REFERENCE bar (20 s) that the Python twin cannot meet on
+        # the r8-class box, which is the round-9 claim under test
+        "transitions_fb": 20,
         # cms appends <= 1025 sketch cells per batch — the floor is one
         # combinable agg + a KB parquet write + checkpoint commit, far
         # lighter than neardup's index probes; 5 s amortizes it. The
@@ -317,6 +322,64 @@ def main() -> None:
         transformed = transition_counts(
             events, id_col="event_id", timeout_s=3600
         )
+    elif mode == "transitions_fb":
+        # the SAME generator through the zero-Python foreachBatch twin
+        # (streaming/transitions.py): within-batch pairs via native lag,
+        # cross-batch boundary via the parquet last-event index —
+        # measures the round-9 claim that dropping the Python row path
+        # lifts the per-batch floor below the reference's 20 s trigger
+        # at 150k rows/s. Compaction (last-index fold) runs in-loop
+        # every COMPACT_EVERY batches, the sanctioned slot.
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import transitions as TR
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_trfb_")
+        n_users = 100_000
+        events = rate.select(
+            (F.col("value") % n_users).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.expr(f"(value div {3 * n_users}) % 3") + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _tr_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/delta/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/last/*.parquet")
+            )
+
+        def _tr_cb(b, bid):
+            TR.transition_update_batch(b, bid, ix_dir)
+            if bid > 0 and bid % compact_every == 0:
+                files_before = _tr_files()
+                t0 = time.time()
+                st = TR.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _tr_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            events.writeStream.foreachBatch(_tr_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode in ("cms", "cms_compact"):
         import tempfile
 
@@ -696,6 +759,21 @@ def main() -> None:
             out["index_files_final"] = _hdr_files()
             if mode == "hdr_compact":
                 out["compactions"] = compactions
+        elif mode == "transitions_fb":
+            from pyspark.sql import functions as FF
+
+            from sparkstreamingflume_spark.streaming import transitions as TR
+
+            # sanity: the generator's type flips every 3rd key-event, so
+            # all 9 (from, to) pairs occur and the matrix total equals
+            # ingested rows minus one first-event per key (<= n_users)
+            m = TR.read_matrix(spark, ix_dir)
+            out["matrix_pairs"] = m.count()
+            out["matrix_total"] = (
+                m.agg(FF.sum("n_transitions")).first()[0] or 0
+            )
+            out["index_files_final"] = _tr_files()
+            out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))
 

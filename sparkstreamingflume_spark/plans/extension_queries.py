@@ -4245,15 +4245,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 5  # neighbors kept per vector
 # Multiprobe fan-out for the graph build (round-7 verdict task 5): each
 # vector's candidate pool is its top-KNN_NPROBE cells (its home cell
-# plus the 2 next-nearest), while the indexed side stays home-cell-only
-# — so candidates triple but stay linear (n * NPROBE * TARGET_CELL) and
-# no (q, nbr) pair can repeat (the neighbor's home cell is unique).
-# Measured on the near-random synthetic fixtures: edge recall vs the
-# uncelled exact graph 0.252/0.264 -> 0.574/0.587 (sf0.001/sf0.01) at
-# ~1.4x the single-probe wall-clock at sf0.1 (9.7 -> 13.4 s cold-ish,
-# 7.3 -> 10.8 s warm) — the recall dial priced well under the 2.5x
-# budget; real clustered corpora sit higher still.
-KNN_NPROBE = 3
+# plus the NPROBE-1 next-nearest), while the indexed side stays
+# home-cell-only — so candidates stay linear (n * NPROBE * TARGET_CELL)
+# and no (q, nbr) pair can repeat (the neighbor's home cell is unique).
+# Ship point chosen from the measured recall/cost frontier (round-9
+# verdict task 4; full table in BASELINE.md, harness
+# tools/knn_frontier.py): on the near-random fixtures — the WORST case
+# for cell gating, true neighbors scatter uniformly — edge recall vs
+# the uncelled exact graph is 0.25 (nprobe=1) -> 0.57 (3) -> 0.79/0.81
+# (5, sf0.001/sf0.01) -> 1.0 (8 = every cell), with wall-clock growing
+# ~linearly in nprobe; on a 40-blob clustered fixture (the realistic
+# regime) nprobe=5 is ~1.0. nprobe=5 ships: SemDeDup's missing-edge
+# rate (the under-merge failure) drops 43% -> ~20% worst-case for
+# ~1.6x the nprobe=3 candidate volume, still far under the quadratic
+# alternative. The dial stays per-call overridable via knn_graph();
+# index_nprobe adds symmetric expansion for recall beyond single-digit
+# nprobe budgets.
+KNN_NPROBE = 5
 
 
 @query(
@@ -4297,8 +4305,10 @@ KNN_NPROBE = 3
     "recall dial composed in, round-7 verdict task 5) while the "
     "indexed side stays home-cell-only, so candidates are n*{NP}*{T} "
     "(still linear), no (q, nbr) pair repeats, and measured edge "
-    "recall vs the uncelled exact graph rises 0.25 -> 0.57 at ~1.4x "
-    "the single-probe cost (pinned >= 0.5 by tests/test_approx.py). "
+    "recall vs the uncelled exact graph rises 0.25 -> 0.79/0.81 at "
+    "nprobe={NP} (ship point from the measured frontier, BASELINE.md; "
+    "pinned >= 0.7 by tests/test_approx.py; ~1.0 on clustered "
+    "corpora). "
     "Honest edge case (mirrored in the oracle): a rep whose probed "
     "cells hold no other members emits no rows — IVF semantics, never "
     "silent padding. Extra: certified by the pytest oracle "
@@ -4473,6 +4483,12 @@ def materialize_knn_graph(spark: SparkSession, sf_dir: str) -> str:
     ``_SUCCESS`` marker exists, so a crashed write rebuilds. The
     driver fixtures are immutable; for mutable corpora delete the
     cache dir on re-ingest (or point the env var at a dated dir).
+
+    The cache key includes the graph DIAL (nprobe / index_nprobe / k)
+    alongside the fixture path — a dial change must never serve edges
+    built at another operating point (caught live when the round-9
+    nprobe bump silently read a stale nprobe=3 graph and the oracle
+    hash flagged it).
     """
     import hashlib
     import os
@@ -4481,7 +4497,9 @@ def materialize_knn_graph(spark: SparkSession, sf_dir: str) -> str:
         "SPARK_GRAFT_GRAPH_DIR", "spark-warehouse/knn_graph"
     )
     key = hashlib.md5(
-        os.path.abspath(sf_dir).encode("utf-8")
+        f"{os.path.abspath(sf_dir)}|np{KNN_NPROBE}|inp1|k{KNN_K}".encode(
+            "utf-8"
+        )
     ).hexdigest()[:16]
     path = f"{base}/{key}"
     from sparkstreamingflume_spark.streaming.neardup import _hadoop_fs

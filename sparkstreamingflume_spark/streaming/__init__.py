@@ -11,6 +11,12 @@ reference's layout (rec_type/dt/hr dirs, size-bounded files), dual-write.
 (dropDuplicatesWithinWatermark) and incremental near-dup against a
 persisted content-hash + LSH-band index (the streaming twin of
 q_dedup_incremental).
+``transitions`` / ``regimes`` — the zero-Python foreachBatch twins of
+q_event_transitions / q_scd2_history: native window algebra per batch,
+cross-batch boundaries through parquet state indexes (keep-2
+compaction, replay-exact).
+``sessions`` — native session_window sessionization under readStream +
+watermark (the streaming twin of q_session_window).
 """
 
 from sparkstreamingflume_spark.streaming import (  # noqa: F401

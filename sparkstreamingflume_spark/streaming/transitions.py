@@ -39,11 +39,12 @@ explicit ``last_null`` flag.
 Replay safety (foreachBatch may re-run the last uncommitted batch):
 within-batch deltas are deterministic, so replayed appends are
 bit-identical and reads collapse them per (batch_id, key, pair) —
-the quantile twin's rule; boundary deltas computed on replay are a
-SUBSET of the original batch's (compaction may have folded away the
-pre-batch state row), and the per-(batch_id, ...) max-collapse keeps
-the original superset. ``last`` rows replay bit-identically and reads
-take the max-batch_id row per key.
+the quantile twin's rule. Boundary deltas replay bit-identically too,
+because the ``batch_id < B`` state read always finds the replayed
+batch's predecessor row: compaction keeps the newest TWO state rows
+per key (keep-2), so folding can never orphan the one row a replay
+of the newest batch needs. ``last`` rows replay bit-identically and
+reads take the max-batch_id row per key.
 
 In-order arrival across batches gives exact batch parity; a late
 cross-batch event pairs with the stored last event rather than its
@@ -218,7 +219,8 @@ def read_matrix(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold delta files into the ``base`` matrix (watermark protocol)
-    and rewrite ``last`` to one row per key (newest batch_id wins).
+    and rewrite ``last`` to the newest two rows per key (keep-2 so a
+    replay of the newest batch still finds its predecessor state).
 
     Delta fold = the quantile twin's list-first protocol: fold exactly
     the listed part-files' rows above the old watermark (per-(batch,
@@ -229,7 +231,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     rows at-or-below wm that every read ignores — idempotent; a delta
     appended mid-fold survives unfolded. This bounds the index: base
     is <= |types|² rows forever, delta is one small file per batch
-    between folds, last is one row per key after its fold.
+    between folds, last is at most two rows per key after its fold.
 
     Returns {last_before, last_after, delta_files, base_rows, wm} or
     {} keys for whichever side had nothing to do.
@@ -259,16 +261,30 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         fs.rename(jtmp, jlive)
         fs.delete(jold, True)
 
-    # ---- last: one row per key, newest wins --------------------------
+    # ---- last: newest TWO rows per key -------------------------------
+    # Keeping only the newest would break a replay of the newest batch
+    # itself (its `batch_id < B` state read needs the predecessor row);
+    # keep-2 per key makes replay-after-compaction EXACT, not merely a
+    # tolerated subset: foreachBatch replays at most the last
+    # uncommitted batch, whose predecessor row is always in the top 2.
     _recover("last")
     jlast = jvm_path(f"{index_dir}/last")
     if fs.exists(jlast):
         live = spark.read.schema(LAST_SCHEMA).parquet(f"{index_dir}/last")
         out["last_before"] = live.count()
-        folded = live.groupBy("user_id").agg(
-            F.expr("max_by(last_null, batch_id)").alias("last_null"),
-            F.expr("max_by(last_type, batch_id)").alias("last_type"),
-            F.max("batch_id").alias("batch_id"),
+        rn = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+        )
+        folded = (
+            live.groupBy("user_id", "batch_id")
+            .agg(
+                F.max("last_null").alias("last_null"),
+                F.max("last_type").alias("last_type"),
+            )
+            .select("user_id", "last_null", "last_type", "batch_id")
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= 2)
+            .drop("rn")
         )
         folded.repartition(1).write.parquet(f"{index_dir}/.last_tmp")
         out["last_after"] = (

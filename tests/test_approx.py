@@ -407,11 +407,12 @@ def test_knn_graph_recall_and_invariants(spark):
     """q_knn_graph must (a) emit exactly KNN_K ranked neighbors per
     representative vector (cells at fixture scale are >> K), (b) agree
     with an independent numpy exact-graph on every edge it scores, and
-    (c) keep edge recall >= 0.5 vs the uncelled exact graph — the
-    multiprobe (KNN_NPROBE=3) composition's contract. The synthetic
-    embeddings are near-random, the worst case for cell gating (true
-    neighbors scatter across cells); real clustered corpora sit
-    higher."""
+    (c) keep edge recall >= 0.7 vs the uncelled exact graph — the
+    multiprobe (KNN_NPROBE=5, the round-9 frontier ship point)
+    composition's contract. The synthetic embeddings are near-random,
+    the worst case for cell gating (true neighbors scatter across
+    cells); real clustered corpora sit higher (~1.0 measured on the
+    40-blob fixture, tools/knn_frontier.py)."""
     import math
 
     import numpy as np
@@ -463,9 +464,11 @@ def test_knn_graph_recall_and_invariants(spark):
         len({n for _, n, _ in got[q]} & set(exact[q])) for q in ids
     )
     recall = hits / (len(ids) * KNN_K)
-    # measured 0.574 (sf0.001) / 0.587 (sf0.01) with nprobe=3, up from
-    # 0.252/0.264 single-probe at ~1.4x cost
-    assert recall >= 0.5, recall
+    # measured 0.793 (sf0.001) / 0.809 (sf0.01) at nprobe=5, up from
+    # 0.574/0.587 (nprobe=3) and 0.252/0.264 (single-probe); the floor
+    # sits ~0.09 under the measured point, and the (d) invariant below
+    # keeps the gate meaningful under fixture drift (round-8 ADVICE)
+    assert recall >= 0.7, recall
 
     # (d) the invariant the multiprobe change actually introduced,
     # robust to fixture drift (round-8 ADVICE): probing more cells

@@ -45,7 +45,9 @@ def _exact_graph(vecs: dict, k: int) -> dict:
     sims = np.floor(
         (mat @ mat.T) * 1_000_000.0 / np.outer(norms, norms)
     ).astype("int64")
-    np.fill_diagonal(sims, np.iinfo("int64").min)
+    # very negative but safely negatable (int64.min would wrap under
+    # the -sims sort key and rank SELF first)
+    np.fill_diagonal(sims, -(2**62))
     out = {}
     margin = min(len(ids) - 1, k + 32)  # headroom for ppm ties
     for qi, q in enumerate(ids):

@@ -102,10 +102,16 @@ EXTRA_QUERIES = (
     "q_bloom_filter_join",
     "q_dist_drift",
     "q_quantile_hdr",
-    # round-8: multiprobe kNN graph (nprobe=3 recall dial — the ratio
-    # prices the 3x candidate fan-out staying linear) and SemDeDup
-    # composed on top of it (edges + threshold + O(log n) CC rounds)
+    # round-8: multiprobe kNN graph (nprobe recall dial, =5 since the
+    # round-9 frontier — the ratio prices the 5x candidate fan-out
+    # staying linear) and SemDeDup composed on top of it (edges +
+    # threshold + O(log n) CC rounds)
     "q_dedup_semantic",
+    # round-9: the materialized-graph SemDeDup split. Its probe time on
+    # a warm cache is the CC increment alone (the production shape);
+    # bench.py's untimed warm-up pass builds the cache, so the timed
+    # medians measure exactly that increment
+    "q_dedup_semantic_from_graph",
 )
 
 

@@ -68,11 +68,12 @@ def main() -> None:
         # groups); retention additionally grows an array-state column
         "retention": 20,
         "transitions": 20,
-        # the zero-Python twin's floor is index reads + two parquet
-        # writes + checkpoint commit (neardup's weight class) — it gets
-        # the REFERENCE bar (20 s) that the Python twin cannot meet on
+        # the zero-Python twins' floor is index reads + two parquet
+        # writes + checkpoint commit (neardup's weight class) — they get
+        # the REFERENCE bar (20 s) that the Python twins cannot meet on
         # the r8-class box, which is the round-9 claim under test
         "transitions_fb": 20,
+        "scd2_fb": 20,
         # cms appends <= 1025 sketch cells per batch — the floor is one
         # combinable agg + a KB parquet write + checkpoint commit, far
         # lighter than neardup's index probes; 5 s amortizes it. The
@@ -322,6 +323,61 @@ def main() -> None:
         transformed = transition_counts(
             events, id_col="event_id", timeout_s=3600
         )
+    elif mode == "scd2_fb":
+        # the scd2 generator through the zero-Python regime twin
+        # (streaming/regimes.py): within-batch regimes via the native
+        # lag+cumsum plan, boundary stitch via the parquet open index —
+        # the round-9 companion claim to transitions_fb
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import regimes as RG
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_scd2fb_")
+        n_users = 100_000
+        events = rate.select(
+            (F.col("value") % n_users).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.expr(f"(value div {3 * n_users}) % 3") + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _rg_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/open/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/closed/*.parquet")
+            )
+
+        def _rg_cb(b, bid):
+            RG.regime_update_batch(b, bid, ix_dir)
+            if bid > 0 and bid % compact_every == 0:
+                files_before = _rg_files()
+                t0 = time.time()
+                st = RG.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _rg_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            events.writeStream.foreachBatch(_rg_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode == "transitions_fb":
         # the SAME generator through the zero-Python foreachBatch twin
         # (streaming/transitions.py): within-batch pairs via native lag,
@@ -773,6 +829,18 @@ def main() -> None:
                 m.agg(FF.sum("n_transitions")).first()[0] or 0
             )
             out["index_files_final"] = _tr_files()
+            out["compactions"] = compactions
+        elif mode == "scd2_fb":
+            from sparkstreamingflume_spark.streaming import regimes as RG
+
+            # sanity: regimes close every 3rd key-event, so history
+            # rows ~ ingested/3 + one open row per key
+            hist = RG.read_history(spark, ix_dir)
+            out["history_rows"] = hist.count()
+            out["open_rows"] = hist.filter(
+                "valid_to_us IS NULL"
+            ).count()
+            out["index_files_final"] = _rg_files()
             out["compactions"] = compactions
         shutil.rmtree(tmp_sink_dir, ignore_errors=True)
     print(json.dumps(out))

@@ -11,10 +11,12 @@ reference's layout (rec_type/dt/hr dirs, size-bounded files), dual-write.
 (dropDuplicatesWithinWatermark) and incremental near-dup against a
 persisted content-hash + LSH-band index (the streaming twin of
 q_dedup_incremental).
-``transitions`` / ``regimes`` — the zero-Python foreachBatch twins of
-q_event_transitions / q_scd2_history: native window algebra per batch,
+``transitions`` / ``regimes`` / ``funnels`` / ``retentions`` — the
+zero-Python foreachBatch twins of q_event_transitions / q_scd2_history
+/ q_funnel / q_retention: native window/fold algebra per batch,
 cross-batch boundaries through parquet state indexes (keep-2
-compaction, replay-exact).
+compaction, replay-exact; retention exact under ANY arrival order via
+retraction deltas).
 ``sessions`` — native session_window sessionization under readStream +
 watermark (the streaming twin of q_session_window).
 """

@@ -74,6 +74,8 @@ def main() -> None:
         # the r8-class box, which is the round-9 claim under test
         "transitions_fb": 20,
         "scd2_fb": 20,
+        "funnel_fb": 20,
+        "retention_fb": 20,
         # cms appends <= 1025 sketch cells per batch — the floor is one
         # combinable agg + a KB parquet write + checkpoint commit, far
         # lighter than neardup's index probes; 5 s amortizes it. The
@@ -372,6 +374,119 @@ def main() -> None:
 
         q = (
             events.writeStream.foreachBatch(_rg_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
+    elif mode == "funnel_fb":
+        # 100k keys cycling view->click->purchase (one stage per
+        # key-event) through the zero-Python funnel twin
+        # (streaming/funnels.py): every key converts on its 3rd event,
+        # exercising the fold, the completion emit, and the state join
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import funnels as FN
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_fnfb_")
+        n_users = 100_000
+        events = rate.select(
+            (F.col("value") % n_users).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.expr(f"(value div {n_users}) % 3") + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _fn_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/state/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/completions/*.parquet")
+            )
+
+        def _fn_cb(b, bid):
+            FN.funnel_update_batch(b, bid, ix_dir)
+            if bid > 0 and bid % compact_every == 0:
+                files_before = _fn_files()
+                t0 = time.time()
+                st = FN.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _fn_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            events.writeStream.foreachBatch(_fn_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
+    elif mode == "retention_fb":
+        # the retention generator (event-time day advances every 3rd
+        # key-event) through the zero-Python retention twin
+        # (streaming/retentions.py): 2/3 of rows dedup away in the
+        # anti-join, 1/3 emit a delta; the seen index grows one row per
+        # (key, day) — the Python twin's array state, now on disk
+        import tempfile
+
+        from sparkstreamingflume_spark.streaming import retentions as RT
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_rtfb_")
+        n_users = 100_000
+        day = F.expr(f"value div {3 * n_users}").cast("long")
+        events = rate.select(
+            (F.col("value") % n_users).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200)
+                + day * 86_400
+                + (F.col("value") % n_users) % 3_600
+            ).alias("ts"),
+        )
+        ix_dir = f"{tmp_sink_dir}/ix"
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _rt_files() -> int:
+            import glob as _g
+
+            return (
+                len(_g.glob(f"{ix_dir}/state/*.parquet"))
+                + len(_g.glob(f"{ix_dir}/delta/*.parquet"))
+                + len(_g.glob(f"{ix_dir}/base/*.parquet"))
+            )
+
+        def _rt_cb(b, bid):
+            RT.retention_update_batch(b, bid, ix_dir)
+            if bid > 0 and bid % compact_every == 0:
+                files_before = _rt_files()
+                t0 = time.time()
+                st = RT.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _rt_files(),
+                        "stats": st,
+                    }
+                )
+
+        q = (
+            events.writeStream.foreachBatch(_rt_cb)
             .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
             .outputMode("append")
             .trigger(processingTime=f"{trigger_s} seconds")
@@ -829,6 +944,30 @@ def main() -> None:
                 m.agg(FF.sum("n_transitions")).first()[0] or 0
             )
             out["index_files_final"] = _tr_files()
+            out["compactions"] = compactions
+        elif mode == "funnel_fb":
+            from sparkstreamingflume_spark.streaming import funnels as FN
+
+            out["completions"] = FN.read_completions(
+                spark, ix_dir
+            ).count()
+            out["funnels_open"] = (
+                FN.read_funnels(spark, ix_dir).count()
+                - out["completions"]
+            )
+            out["index_files_final"] = _fn_files()
+            out["compactions"] = compactions
+        elif mode == "retention_fb":
+            from pyspark.sql import functions as FF
+
+            from sparkstreamingflume_spark.streaming import retentions as RT
+
+            tri = RT.read_triangle(spark, ix_dir)
+            out["triangle_cells"] = tri.count()
+            out["triangle_total"] = (
+                tri.agg(FF.sum("n_active")).first()[0] or 0
+            )
+            out["index_files_final"] = _rt_files()
             out["compactions"] = compactions
         elif mode == "scd2_fb":
             from sparkstreamingflume_spark.streaming import regimes as RG

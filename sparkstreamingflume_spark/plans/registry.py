@@ -100,81 +100,77 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-9 ROTATION (the round-8 verdict's prescribed set): (1) the 30
-# queries whose newest driver row is round 6 — exactly the staleness
-# frontier ("no row older than two rounds" means every r6 row must
-# re-certify in r9); (2) the round-9 plan changes — q_knn_graph (body
-# refactored into the parametrized knn_graph helper; same default
-# plan, but the lineage changed), q_dedup_semantic (now built through
-# the shared _semantic_clusters increment), and the round-9 newcomer
-# q_dedup_semantic_from_graph (the materialized-graph form — certifying
-# it keeps the never-driver-certified ledger closed the round it
-# opens); (3) the 12 bench headliners, so BENCH_r09's trend line
-# re-anchors on fresh correctness rows (q_sessionize also carries the
-# new streaming-sessions twin's batch anchor); (4) five of the 50
-# round-7-green queries that would hit the staleness frontier next
-# round, picked widest (pagerank / asof / range join / dedup clusters /
-# embed cosine). The remaining 45 round-7-green queries rest on
-# validate.py + the oracle-extras pytest gate (same compare, run every
-# session) and are first in line for round 10; staleness is now
-# readable per-query from SURVEY §2.10's "last driver round" column
-# (tools/gen_registry_table.py).
+# ROUND-10 ROTATION (the round-9 verdict's prescribed set): (1) ALL 45
+# queries whose newest driver row is round 7 — at round 10 they hit the
+# staleness frontier ("no registry row older than two rounds"), so every
+# one re-certifies this round; the set is a mechanical read-off of the
+# CORRECTNESS_r01..r09 union (verified against SURVEY §2.10's "driver rN"
+# column before rotating). (2) The round-10 plan-touched queries —
+# q_dedup_semantic_from_graph (materialize_knn_graph is now parametrized
+# by dial and the cache key is derived from the actual dial arguments, so
+# the materialized-graph lineage changed) and q_knn_graph (re-anchor
+# alongside the dial work and the new 40-cell frontier row). (3) The
+# remaining 3 slots go to the widest round-8 rows (they re-certify at r11
+# by the invariant, but pre-empting the widest ones — the big-big TPC-H
+# joins and the block-scrub corpus rewrite — flattens the r11 rotation).
+# The 36 remaining round-8-green queries rest on validate.py + the
+# oracle-extras pytest gate (same compare, run every session) and are
+# first in line for round 11.
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- the 30 round-6-stale rows (the staleness frontier) -----------------
-    "q_anti_join",
-    "q_approx_percentile",
-    "q_count",
-    "q_dedup_block",
-    "q_dedup_candidates_verified",
-    "q_dedup_containment",
-    "q_dedup_embed_cosine_bruteforce",
-    "q_dedup_embed_lsh",
-    "q_dedup_incremental",
-    "q_doc_chunk",
-    "q_doc_fingerprint",
-    "q_embed_ivf",
-    "q_embed_ivf_search",
-    "q_grouping_sets",
-    "q_lm_score",
-    "q_percentile",
-    "q_rank_topn_per_group",
-    "q_rollup",
-    "q_sample_per_group",
-    "q_semi_anti",
-    "q_semi_join",
-    "q_set_ops",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_topterms",
-    "q_tfidf",
-    "q_token_count",
-    "q_train_test_split",
-    "q_window_suite",
-    # -- round-9 plan changes + newcomer ------------------------------------
-    "q_knn_graph",
-    "q_dedup_semantic",
+    # -- the 45 round-7-stale rows (the staleness frontier) ------------------
+    "q_approx_aggs",
+    "q_approx_count_distinct",
+    "q_cluster_sort",
+    "q_contamination",
+    "q_count_by_type",
+    "q_count_distinct",
+    "q_cube",
+    "q_data_mix",
+    "q_date_bucket",
+    "q_dedup_keep_best",
+    "q_dedup_simhash_pairs",
+    "q_dedup_simhash_wide",
+    "q_dirty_filter",
+    "q_distinct",
+    "q_embed_quantize_topk",
+    "q_except",
+    "q_fanout_dup",
+    "q_field_drop",
+    "q_field_extract",
+    "q_filter_prefix",
+    "q_histogram",
+    "q_intersect",
+    "q_json_extract",
+    "q_json_typed",
+    "q_lag_delta",
+    "q_left_join_default",
+    "q_lookup_build",
+    "q_md5_mask",
+    "q_md5_mask_multi",
+    "q_moving_window",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_profile",
+    "q_project_44to10",
+    "q_project_kv",
+    "q_rep_filter",
+    "q_sample_stratified",
+    "q_seq_pack",
+    "q_sketch_rollup",
+    "q_subqueries",
+    "q_text_normalize",
+    "q_time_rollup",
+    "q_topk",
+    "q_union",
+    "q_window_tumbling",
+    # -- round-10 plan-touched (knn dial parametrization) --------------------
     "q_dedup_semantic_from_graph",
-    # -- bench headliners (trend line re-anchors on fresh rows) -------------
-    "q_tpch_q1",
-    "q_window_sliding",
-    "q_dedup_exact",
-    "q_join_bigbig",
-    "q_embed_topk",
-    "q_broadcast_join",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_group_concat",
-    "q_sessionize",
-    "q_gprs_pipeline",
-    "q_corpus_prep",
-    # -- widest round-7 rows at next round's staleness frontier -------------
-    "q_pagerank",
-    "q_asof_join",
-    "q_range_join",
-    "q_dedup_clusters",
-    "q_dedup_embed_cosine",
+    "q_knn_graph",
+    # -- widest round-8 rows, pre-empting the r11 frontier -------------------
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_dedup_block_scrub",
 )
 
 

@@ -115,12 +115,37 @@ def drift_since(
     negative; a group/bucket absent from one side counts 0 there.
     Both sides read dated registers only — an undated event belongs to
     no period histogram, exactly the batch query's filter.
+
+    Concurrency (round-9 ADVICE): a :func:`snapshot_reference` swap
+    leaves a one-rename-pair window where the live ref dir is absent
+    (the previous snapshot sits at ``<ref_dir>.old``). A read landing
+    in that window falls back to the ``.old`` snapshot — the
+    previous blessed reference, a correct (one-snapshot-stale) answer —
+    instead of reading an empty reference and silently dropping every
+    group through the ``n_a > 0`` filter. Only if NEITHER dir exists
+    (no snapshot was ever taken) does the read see an empty reference,
+    and then it raises rather than returning a silently empty frame.
+    The read is deliberately MUTATION-FREE (no recovery rename): a
+    reader that "recovers" concurrently with a live writer's swap
+    would race the writer's tmp→live rename; crash recovery belongs to
+    the next :func:`snapshot_reference` call, which owns the dirs.
     """
-    _recover_ref(spark, ref_dir)
     live = read_registers(spark, index_dir, dated_only=True).select(
         "g", "idx", "cnt"
     )
-    ref = _read_index(spark, ref_dir, REF_SCHEMA)
+    fs, _ = _hadoop_fs(spark, ref_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    read_dir = ref_dir
+    if not fs.exists(jvm_path(ref_dir)):
+        old = ref_dir.rstrip("/") + ".old"
+        if fs.exists(jvm_path(old)):
+            read_dir = old  # mid-swap: previous blessed snapshot
+        else:
+            raise FileNotFoundError(
+                f"drift reference missing: neither {ref_dir} nor {old} "
+                "exists — call snapshot_reference() before drift_since()"
+            )
+    ref = _read_index(spark, read_dir, REF_SCHEMA)
     joined = live.alias("l").join(
         ref.alias("r"),
         (F.col("l.g").eqNullSafe(F.col("r.g")))

@@ -88,6 +88,12 @@ def _increment(batch: DataFrame) -> DataFrame:
     return hdr_registers(vals, "event_type", "cents", ("dated",))
 
 
+def _coalesce_dated(df: DataFrame) -> DataFrame:
+    """NULL ``dated`` (a pre-upgrade index file) reads as TRUE — see
+    :func:`read_registers`' migration note."""
+    return df.withColumn("dated", F.coalesce(F.col("dated"), F.lit(True)))
+
+
 def hdr_update_batch(batch: DataFrame, batch_id: int, index_dir: str) -> None:
     """foreachBatch callback: append this batch's register increment.
     An empty (or all-invalid) batch appends zero rows — a no-op for
@@ -123,9 +129,22 @@ def read_registers(
     ``dated_only=True`` keeps only registers built from ``ts IS NOT
     NULL`` rows — the drift reader's view (``q_dist_drift``'s
     contract); the default sums over both flag values — the quantile
-    reader's view (``q_quantile_hdr``'s contract)."""
-    base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
-    delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
+    reader's view (``q_quantile_hdr``'s contract).
+
+    Migration note (round-9 ADVICE): indexes written before the
+    ``dated`` register dimension existed read as NULL ``dated``. NULL
+    is coalesced to TRUE at every read (here and in the fold): the
+    quantile view is unaffected either way (it sums over the flag),
+    and the drift view keeps pre-upgrade registers visible rather than
+    silently emptying — the conservative direction for a drift GATE
+    (pre-upgrade undated values inflate the reference rather than
+    vanish from it; a monitoring gate must fail toward alerting, not
+    toward an empty silent pass). The fold persists the coalesced
+    value, so one compaction fully migrates an old index."""
+    base = _coalesce_dated(_read_index(spark, f"{index_dir}/base", BASE_SCHEMA))
+    delta = _coalesce_dated(
+        _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
+    )
     wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
     fresh = (
         delta.join(F.broadcast(wm), F.col("batch_id") > F.col("wm"))
@@ -204,8 +223,8 @@ def compact_registers(spark: SparkSession, index_dir: str) -> dict:
     ]
     if not files:
         return {}
-    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
-    base = _read_index(spark, base_p, BASE_SCHEMA)
+    delta = _coalesce_dated(spark.read.schema(DELTA_SCHEMA).parquet(*files))
+    base = _coalesce_dated(_read_index(spark, base_p, BASE_SCHEMA))
     wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
     hi = delta.filter(F.col("batch_id") > wm_old).agg(
         F.max("batch_id")

@@ -164,3 +164,80 @@ def test_zero_drift_on_identical_distribution(spark, tmp_path):
     for g, (n_a, n_b, tv) in got.items():
         assert n_a == n_b, g
         assert tv == 0, (g, tv)  # identical counts => identical ppm floors
+
+
+def test_reader_falls_back_to_old_snapshot_mid_swap(spark, tmp_path):
+    """round-9 ADVICE: a drift_since landing in snapshot_reference's
+    one-rename-pair window (live ref dir absent, previous snapshot at
+    <ref>.old) reads the .old snapshot — the previous blessed
+    reference — instead of an empty frame; with NEITHER dir present it
+    raises instead of silently returning no rows."""
+    import os
+
+    import pytest
+
+    from sparkstreamingflume_spark.streaming.drift import (
+        snapshot_reference,
+    )
+    from sparkstreamingflume_spark.streaming.quantile import (
+        hdr_update_batch,
+    )
+
+    a, b = _halves(spark)
+    ix, ref = tmp_path / "ix", tmp_path / "ref"
+    hdr_update_batch(a, 0, str(ix))
+    snapshot_reference(spark, str(ix), str(ref))
+    hdr_update_batch(b, 1, str(ix))
+    want = _drift_output(spark, ix, ref)
+    # simulate the mid-swap window: live dir renamed aside, tmp not yet in
+    os.rename(str(ref), str(ref) + ".old")
+    assert _drift_output(spark, ix, ref) == want
+    # neither dir: loud failure, not a silently empty monitoring result
+    os.rename(str(ref) + ".old", str(tmp_path / "gone"))
+    with pytest.raises(FileNotFoundError, match="drift reference missing"):
+        _drift_output(spark, ix, ref)
+
+
+def test_pre_upgrade_index_without_dated_column_stays_visible(
+    spark, tmp_path
+):
+    """round-9 ADVICE migration pin: delta files written BEFORE the
+    `dated` register dimension existed read as NULL dated and are
+    coalesced to TRUE — quantile totals unchanged, drift keeps the
+    pre-upgrade registers visible (conservative for a gate) instead of
+    silently emptying; one compaction persists the migrated flag."""
+    from sparkstreamingflume_spark.streaming.quantile import (
+        compact_registers,
+        hdr_update_batch,
+        read_registers,
+    )
+
+    a, _ = _halves(spark)
+    ix = tmp_path / "ix"
+    hdr_update_batch(a, 0, str(ix))
+    total = read_registers(spark, str(ix)).agg(F.sum("cnt")).first()[0]
+    # rewrite the delta WITHOUT the dated column — a pre-upgrade index
+    legacy = spark.read.parquet(str(ix / "delta")).drop("dated")
+    legacy.coalesce(1).write.mode("overwrite").parquet(str(ix / "legacy"))
+    import shutil
+
+    shutil.rmtree(str(ix / "delta"))
+    shutil.move(str(ix / "legacy"), str(ix / "delta"))
+    assert (
+        read_registers(spark, str(ix)).agg(F.sum("cnt")).first()[0] == total
+    )
+    dated = (
+        read_registers(spark, str(ix), dated_only=True)
+        .agg(F.sum("cnt"))
+        .first()[0]
+    )
+    assert dated == total  # visible to drift, not silently dropped
+    assert compact_registers(spark, str(ix))["rows_after"] > 0
+    base = spark.read.parquet(str(ix / "base"))
+    assert base.filter(F.col("dated").isNull()).count() == 0
+    assert (
+        read_registers(spark, str(ix), dated_only=True)
+        .agg(F.sum("cnt"))
+        .first()[0]
+        == total
+    )

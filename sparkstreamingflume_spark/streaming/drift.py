@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.streaming.neardup import (
+from sparkstreamingflume_spark.streaming.state import (
     _hadoop_fs,
     _read_index,
 )

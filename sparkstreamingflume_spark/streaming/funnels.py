@@ -47,9 +47,9 @@ from pyspark.sql import functions as F
 from sparkstreamingflume_spark.plans.relational_queries import (
     FUNNEL_STAGE_US,
 )
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
-    _read_index,
+from sparkstreamingflume_spark.streaming.state import (
+    keepn_compact,
+    read_state,
 )
 
 STATE_SCHEMA = (
@@ -94,7 +94,7 @@ def _step(stages: tuple[str, str, str]):
 
 
 def _state(spark: SparkSession, index_dir: str, before_batch: int | None):
-    df = _read_index(spark, f"{index_dir}/state", STATE_SCHEMA)
+    df = read_state(spark, index_dir, "state", STATE_SCHEMA)
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < F.lit(int(before_batch)))
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
@@ -225,9 +225,7 @@ def read_funnels(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_completions(spark: SparkSession, index_dir: str) -> DataFrame:
     """Replay-collapsed completion rows (one per converted user)."""
-    c = _read_index(
-        spark, f"{index_dir}/completions", COMPLETION_SCHEMA
-    )
+    c = read_state(spark, index_dir, "completions", COMPLETION_SCHEMA)
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
     return (
         c.withColumn("_rn", F.row_number().over(w))
@@ -238,55 +236,19 @@ def read_completions(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Keep-2 fold of the accumulator state plus per-user completion
-    dedup, with the shared tmp+rename+recover swap."""
-    out: dict = {}
-    fs, _ = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-    def _recover(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jold):
-            if fs.exists(jlive):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jlive)
-        if fs.exists(jtmp):
-            fs.delete(jtmp, True)
-
-    def _swap(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jlive):
-            fs.rename(jlive, jold)
-        fs.rename(jtmp, jlive)
-        fs.delete(jold, True)
-
-    for name, schema, keep in (
-        ("state", STATE_SCHEMA, 2),
-        ("completions", COMPLETION_SCHEMA, 1),
-    ):
-        _recover(name)
-        if not fs.exists(jvm_path(f"{index_dir}/{name}")):
-            continue
-        live = spark.read.schema(schema).parquet(f"{index_dir}/{name}")
-        out[f"{name}_before"] = live.count()
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("batch_id").desc()
-        )
-        folded = (
-            live.dropDuplicates()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .drop("_rn")
-        )
-        folded.repartition(1).write.parquet(f"{index_dir}/.{name}_tmp")
-        out[f"{name}_after"] = (
-            spark.read.schema(schema)
-            .parquet(f"{index_dir}/.{name}_tmp")
-            .count()
-        )
-        _swap(name)
-    return out
+    dedup, through the shared ``streaming/state.py`` recover/swap
+    (readers fall back to the ``.old`` snapshot mid-swap — see that
+    module's concurrency contract)."""
+    return {
+        **keepn_compact(
+            spark, index_dir, "state", STATE_SCHEMA, ("user_id",), 2
+        ),
+        **keepn_compact(
+            spark,
+            index_dir,
+            "completions",
+            COMPLETION_SCHEMA,
+            ("user_id",),
+            1,
+        ),
+    }

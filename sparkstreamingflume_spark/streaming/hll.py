@@ -40,9 +40,10 @@ from sparkstreamingflume_spark.functions.hll import (
     hll_estimate,
     hll_z,
 )
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
+from sparkstreamingflume_spark.streaming.state import (
     _read_index,
+    list_first_fold,
+    read_state,
 )
 
 DELTA_SCHEMA = "event_type string, bucket long, r int, batch_id long"
@@ -98,7 +99,7 @@ def read_registers(spark: SparkSession, index_dir: str) -> DataFrame:
     """The folded registers: (event_type, bucket, r) max-merged over
     base + deltas. Duplicate delta rows from replays collapse through
     the same max — no dedup pass, no watermark."""
-    base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
+    base = read_state(spark, index_dir, "base", BASE_SCHEMA)
     delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     return (
         base.unionByName(delta.select("event_type", "bucket", "r"))
@@ -137,54 +138,21 @@ def compact_registers(spark: SparkSession, index_dir: str) -> dict:
       survives as an unfolded delta for the next fold.
 
     Returns {rows_before, rows_after, n_files} or {} when there is
-    nothing to fold.
+    nothing to fold. The list-first protocol lives in
+    :func:`streaming.state.list_first_fold` (``use_wm=False`` — the
+    max-merge needs no watermark bookkeeping); this function
+    contributes only the register max-merge.
     """
-    fs, jroot = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    base_p, delta_p = f"{index_dir}/base", f"{index_dir}/delta"
-    jbase, jdelta = jvm_path(base_p), jvm_path(delta_p)
-    jold = jvm_path(f"{index_dir}/.base_old")
-    # sweep tmp dirs leaked by a fold that crashed mid-write
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            if st.getPath().getName().startswith(".base_compact_"):
-                fs.delete(st.getPath(), True)
-    # recover a crashed swap: old-with-no-live => rename back; else drop
-    if fs.exists(jold):
-        if fs.exists(jbase):
-            fs.delete(jold, True)
-        else:
-            fs.rename(jold, jbase)
-    if not fs.exists(jdelta):
-        return {}
-    files = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdelta)
-        if st.getPath().getName().startswith("part-")
-    ]
-    if not files:
-        return {}
-    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
-    base = _read_index(spark, base_p, BASE_SCHEMA)
-    rows_before = delta.count() + base.count()
-    folded = (
-        base.unionByName(delta.select("event_type", "bucket", "r"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("r"))
+    return list_first_fold(
+        spark,
+        index_dir,
+        delta_schema=DELTA_SCHEMA,
+        base_schema=BASE_SCHEMA,
+        use_wm=False,
+        count_before=True,
+        fold=lambda base, delta: (
+            base.unionByName(delta.select("event_type", "bucket", "r"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("r"))
+        ),
     )
-    tmp = f"{index_dir}/.base_compact_tmp"
-    # <= |groups| * HLL_M rows — one file
-    folded.repartition(1).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if fs.exists(jbase):
-        fs.rename(jbase, jold)
-    fs.rename(jvm_path(tmp), jbase)
-    fs.delete(jold, True)
-    # only the folded files — a concurrently-appended delta survives
-    for f in files:
-        fs.delete(jvm_path(f), False)
-    return {
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-        "n_files": len(files),
-    }

@@ -46,32 +46,20 @@ from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.functions.text import minhash_bands, tokens
 
+# the index plumbing moved to streaming/state.py (round-10 hygiene:
+# one implementation of recover/swap/fold for the whole foreachBatch
+# family); re-exported here because every earlier streaming twin
+# imports these two from this module
+from sparkstreamingflume_spark.streaming.state import (  # noqa: F401
+    _hadoop_fs,
+    _read_index,
+    read_state,
+    recover_index,
+    write_swap,
+)
+
 EXACT_SCHEMA = "sig string, batch_id long"
 BANDS_SCHEMA = "b int, band_hash string, batch_id long"
-
-
-def _read_index(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """The index dir may not exist yet (first batch) — empty frame then.
-
-    Existence is probed by ATTEMPTING the read and catching the
-    missing-path analysis error, not via os.path — the index can live on
-    any Hadoop filesystem (hdfs://, s3a://), where a local isdir() is
-    always False and would silently disable dedup forever.
-    """
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(schema).parquet(path)
-        df.schema  # force analysis so a missing path raises HERE
-        return df
-    except AnalysisException as e:
-        # the PATH_NOT_FOUND error class exists only on Spark >= 3.4;
-        # older Sparks raise the bare "Path does not exist" message, so
-        # match both forms — bootstrap must not depend on one version's
-        # error class
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return spark.createDataFrame([], schema)
-        raise
 
 
 def incremental_dedup_batch(
@@ -91,11 +79,14 @@ def incremental_dedup_batch(
     """
     spark = batch.sparkSession
     # strictly-earlier-batch filter = replay safety (see module doc); it
-    # reaches the parquet scan as a pushed predicate on batch_id
-    exact_ix = _read_index(spark, f"{index_dir}/exact", EXACT_SCHEMA).filter(
+    # reaches the parquet scan as a pushed predicate on batch_id.
+    # read_state (not a raw read) so a probe landing in a concurrent
+    # compaction's rename window sees the pre-compaction index, never
+    # an empty one (which would wave every dup through).
+    exact_ix = read_state(spark, index_dir, "exact", EXACT_SCHEMA).filter(
         F.col("batch_id") < batch_id
     )
-    bands_ix = _read_index(spark, f"{index_dir}/bands", BANDS_SCHEMA).filter(
+    bands_ix = read_state(spark, index_dir, "bands", BANDS_SCHEMA).filter(
         F.col("batch_id") < batch_id
     )
 
@@ -201,21 +192,6 @@ def attach_incremental_dedup(
     )
 
 
-def _hadoop_fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path) for ``path_str`` via the session's Hadoop conf.
-
-    This is what makes index maintenance FS-agnostic: the same calls
-    resolve to the local FS, HDFS, or an object store depending on the
-    path scheme — unlike ``os.path``/``os.rename``, which silently see
-    nothing on ``hdfs://``/``s3a://`` paths (the bug class the read
-    path at :func:`_read_index` already avoids by probing via Spark).
-    """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
-
-
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Rewrite both signature indexes to one row per distinct key.
 
@@ -229,44 +205,18 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     break it: a key first indexed by batch 2 and re-appended by a
     replayed batch 5 would vanish from batch 5's own probe view.)
 
-    Runs as one combinable min-aggregation per index. All directory
-    manipulation goes through the Hadoop FileSystem API resolved from
-    the index path's own scheme, so compaction works wherever the index
-    lives (local, ``hdfs://``, ``s3a://``) — NOTE the swap protocol
-    assumes atomic directory rename, which holds on local FS and HDFS;
-    on object stores without atomic rename (raw S3) run compaction only
-    when no concurrent reader is active. Crash protocol (rename swap):
-    the window with no live index dir is the instant between the two
-    renames, so every call FIRST recovers from a prior crash — leftover
-    ``.{sub}_compact_*`` tmp dirs from a crashed write are swept, then a
-    leftover ``.{sub}_old`` with no live ``{sub}`` is renamed back
-    (crash was mid-swap; the old index is intact and correct), and a
-    leftover ``.{sub}_old`` WITH a live ``{sub}`` is deleted (crash was
-    pre-cleanup; the new index already serves). A batch running
-    concurrently could still observe the rename gap — schedule
-    compaction between batches (e.g. from the foreachBatch thread
-    itself), not alongside them.
+    Runs as one combinable min-aggregation per index, through the
+    shared recover/tmp+rename swap of ``streaming/state.py`` (see its
+    module doc for the crash protocol, the FS-agnosticism, and the
+    atomic-rename caveat on raw object stores).
     Returns per-index (rows_before, rows_after).
     """
-    fs, jroot = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     stats = {}
     for sub, key_cols in (("exact", ["sig"]), ("bands", ["b", "band_hash"])):
+        recover_index(spark, index_dir, sub)
+        fs, _ = _hadoop_fs(spark, index_dir)
         path = f"{index_dir}/{sub}"
-        old = f"{index_dir}/.{sub}_old"
-        jp, jold = jvm_path(path), jvm_path(old)
-        # sweep tmp dirs leaked by a compaction that crashed mid-write
-        if fs.exists(jroot):
-            for st in fs.listStatus(jroot):
-                if st.getPath().getName().startswith(f".{sub}_compact_"):
-                    fs.delete(st.getPath(), True)
-        # recovery from a previous crashed swap (see docstring)
-        if fs.exists(jold):
-            if fs.exists(jp):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jp)
-        if not fs.exists(jp):
+        if not fs.exists(spark._jvm.org.apache.hadoop.fs.Path(path)):
             continue
         before = spark.read.parquet(path)
         n_before = before.count()
@@ -279,11 +229,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         # own purpose. repartition (not coalesce) keeps the aggregation
         # parallel and only narrows the final write.
         target_files = max(1, -(-n_before * 64 // (128 << 20)))
-        tmp = f"{index_dir}/.{sub}_compact_tmp"
-        compacted.repartition(target_files).write.mode("overwrite").parquet(tmp)
-        n_after = spark.read.parquet(tmp).count()
-        fs.rename(jp, jold)
-        fs.rename(jvm_path(tmp), jp)
-        fs.delete(jold, True)
+        n_after = write_swap(
+            spark, compacted, index_dir, sub, n_files=target_files
+        )
         stats[sub] = (n_before, n_after)
     return stats

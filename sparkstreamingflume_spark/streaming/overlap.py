@@ -41,7 +41,7 @@ from sparkstreamingflume_spark.functions.text import (
     shingles,
     tokens,
 )
-from sparkstreamingflume_spark.streaming.neardup import (
+from sparkstreamingflume_spark.streaming.state import (
     _hadoop_fs,
     _read_index,
 )

@@ -47,9 +47,10 @@ from sparkstreamingflume_spark.functions.hdr import (
     hdr_registers,
     rank_expr,
 )
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
+from sparkstreamingflume_spark.streaming.state import (
     _read_index,
+    list_first_fold,
+    read_state,
 )
 
 DELTA_SCHEMA = (
@@ -141,7 +142,7 @@ def read_registers(
     vanish from it; a monitoring gate must fail toward alerting, not
     toward an empty silent pass). The fold persists the coalesced
     value, so one compaction fully migrates an old index."""
-    base = _coalesce_dated(_read_index(spark, f"{index_dir}/base", BASE_SCHEMA))
+    base = _coalesce_dated(read_state(spark, index_dir, "base", BASE_SCHEMA))
     delta = _coalesce_dated(
         _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     )
@@ -189,79 +190,29 @@ def quantiles(spark: SparkSession, index_dir: str) -> DataFrame:
 def compact_registers(spark: SparkSession, index_dir: str) -> dict:
     """Fold delta files into ``base`` and advance the watermark.
 
-    List-first protocol (the concurrent-append-safe form shared with
-    :func:`streaming.sketch.compact_sketch`): fold exactly the listed
-    delta part-files, derive the new watermark from the LISTED files'
-    max batch_id, swap base in, then delete exactly the listed files —
-    a delta appended mid-fold survives unfolded and, if newer than
-    every listed file, stays above the watermark for every read.
-    Returns {rows_before, rows_after, wm, n_files} or {} when there is
-    nothing to fold.
+    The list-first watermark protocol lives in
+    :func:`streaming.state.list_first_fold` (shared with the sketch /
+    transitions / retentions folds); this function contributes only
+    the register-specific replay collapse and sum-merge (both over the
+    NULL-``dated``-coalesced view, so one compaction fully migrates a
+    pre-upgrade index — see :func:`read_registers`). Returns
+    {rows_before, rows_after, wm, n_files} or {} when there is nothing
+    to fold.
     """
-    fs, jroot = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    base_p, delta_p = f"{index_dir}/base", f"{index_dir}/delta"
-    jbase, jdelta = jvm_path(base_p), jvm_path(delta_p)
-    jold = jvm_path(f"{index_dir}/.base_old")
-    # sweep tmp dirs leaked by a fold that crashed mid-write
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            if st.getPath().getName().startswith(".base_compact_"):
-                fs.delete(st.getPath(), True)
-    # recover a crashed swap: old-with-no-live => rename back; else drop
-    if fs.exists(jold):
-        if fs.exists(jbase):
-            fs.delete(jold, True)
-        else:
-            fs.rename(jold, jbase)
-    if not fs.exists(jdelta):
-        return {}
-    files = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdelta)
-        if st.getPath().getName().startswith("part-")
-    ]
-    if not files:
-        return {}
-    delta = _coalesce_dated(spark.read.schema(DELTA_SCHEMA).parquet(*files))
-    base = _coalesce_dated(_read_index(spark, base_p, BASE_SCHEMA))
-    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
-    hi = delta.filter(F.col("batch_id") > wm_old).agg(
-        F.max("batch_id")
-    ).first()[0]
-    if hi is None:
-        # every listed row is a replay of an already-folded batch —
-        # reclaim exactly the listed files
-        for f in files:
-            fs.delete(jvm_path(f), False)
-        return {}
-    rows_before = delta.count() + base.count()
-    fresh = (
-        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
+    return list_first_fold(
+        spark,
+        index_dir,
+        delta_schema=DELTA_SCHEMA,
+        base_schema=BASE_SCHEMA,
+        count_before=True,
+        collapse=lambda d: _coalesce_dated(d)
         .groupBy("batch_id", "g", "idx", "dated")
-        .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt"))
+        .agg(F.max("mid").alias("mid"), F.max("cnt").alias("cnt")),
+        fold=lambda base, fresh: (
+            _coalesce_dated(base)
+            .select("g", "idx", "mid", "dated", "cnt")
+            .unionByName(fresh.select("g", "idx", "mid", "dated", "cnt"))
+            .groupBy("g", "idx", "mid", "dated")
+            .agg(F.sum("cnt").alias("cnt"))
+        ),
     )
-    folded = (
-        base.select("g", "idx", "mid", "dated", "cnt")
-        .unionByName(fresh.select("g", "idx", "mid", "dated", "cnt"))
-        .groupBy("g", "idx", "mid", "dated")
-        .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("wm", F.lit(int(hi)).cast("long"))
-    )
-    tmp = f"{index_dir}/.base_compact_tmp"
-    # <= |groups| * ~2k registers — one file
-    folded.repartition(1).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if fs.exists(jbase):
-        fs.rename(jbase, jold)
-    fs.rename(jvm_path(tmp), jbase)
-    fs.delete(jold, True)
-    # exactly the folded files — deltas appended mid-fold stay visible
-    for f in files:
-        fs.delete(jvm_path(f), False)
-    return {
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-        "wm": hi,
-        "n_files": len(files),
-    }

@@ -62,9 +62,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
-    _read_index,
+from sparkstreamingflume_spark.streaming.state import (
+    keepn_compact,
+    read_state,
 )
 
 OPEN_SCHEMA = (
@@ -82,7 +82,7 @@ def _open_state(
 ) -> DataFrame:
     """Newest open-regime row per key (optionally restricted to rows
     older than ``before_batch`` — the replay guard)."""
-    df = _read_index(spark, f"{index_dir}/open", OPEN_SCHEMA)
+    df = read_state(spark, index_dir, "open", OPEN_SCHEMA)
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < F.lit(int(before_batch)))
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
@@ -235,7 +235,7 @@ def read_history(spark: SparkSession, index_dir: str) -> DataFrame:
     newest open regime per key (valid_to_us NULL) — bit-equal to
     ``q_scd2_history`` over the same in-order-fed rows
     (tests/test_stream_regimes.py)."""
-    closed = _read_index(spark, f"{index_dir}/closed", CLOSED_SCHEMA)
+    closed = read_state(spark, index_dir, "closed", CLOSED_SCHEMA)
     w = Window.partitionBy("user_id", "regime_no").orderBy(
         F.col("batch_id").desc()
     )
@@ -266,57 +266,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Rewrite ``open`` to the newest two rows per key (keep-2, the
     transitions twin's replay rule) and ``closed`` to one row per
     (key, regime_no) — replay-duplicate hygiene plus small-file
-    control, with the shared tmp+rename+recover swap. Returns row
+    control, through the shared ``streaming/state.py`` recover/swap
+    (readers fall back to the ``.old`` snapshot mid-swap). Returns row
     counts before/after per side."""
-    out: dict = {}
-    fs, _ = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-    def _recover(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jold):
-            if fs.exists(jlive):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jlive)
-        if fs.exists(jtmp):
-            fs.delete(jtmp, True)
-
-    def _swap(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jlive):
-            fs.rename(jlive, jold)
-        fs.rename(jtmp, jlive)
-        fs.delete(jold, True)
-
-    for name, schema, keys in (
-        ("open", OPEN_SCHEMA, ("user_id",)),
-        ("closed", CLOSED_SCHEMA, ("user_id", "regime_no")),
-    ):
-        _recover(name)
-        if not fs.exists(jvm_path(f"{index_dir}/{name}")):
-            continue
-        live = spark.read.schema(schema).parquet(f"{index_dir}/{name}")
-        out[f"{name}_before"] = live.count()
-        keep = 2 if name == "open" else 1
-        w = Window.partitionBy(*keys).orderBy(F.col("batch_id").desc())
-        # collapse bit-identical replay rows first so keep-2 keeps two
-        # DISTINCT batches, then keep the newest `keep` rows per key
-        folded = (
-            live.dropDuplicates()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .drop("_rn")
-        )
-        folded.repartition(1).write.parquet(f"{index_dir}/.{name}_tmp")
-        out[f"{name}_after"] = (
-            spark.read.schema(schema)
-            .parquet(f"{index_dir}/.{name}_tmp")
-            .count()
-        )
-        _swap(name)
-    return out
+    return {
+        **keepn_compact(
+            spark, index_dir, "open", OPEN_SCHEMA, ("user_id",), 2
+        ),
+        **keepn_compact(
+            spark,
+            index_dir,
+            "closed",
+            CLOSED_SCHEMA,
+            ("user_id", "regime_no"),
+            1,
+        ),
+    }

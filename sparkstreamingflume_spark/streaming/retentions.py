@@ -58,9 +58,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
+from sparkstreamingflume_spark.streaming.state import (
     _read_index,
+    keepn_compact,
+    list_first_fold,
+    read_state,
 )
 
 _DAY_US = 24 * 3600 * 1_000_000
@@ -79,7 +81,7 @@ TRIANGLE_SCHEMA = "cohort_day long, offset_days long, n long, wm long"
 
 
 def _state(spark: SparkSession, index_dir: str, before_batch: int | None):
-    df = _read_index(spark, f"{index_dir}/state", STATE_SCHEMA)
+    df = read_state(spark, index_dir, "state", STATE_SCHEMA)
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < F.lit(int(before_batch)))
     w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
@@ -212,7 +214,7 @@ def read_triangle(spark: SparkSession, index_dir: str) -> DataFrame:
     over the same fed rows, in any arrival order. Replays of unfolded
     batches collapse per (batch, user, coordinate); replays of folded
     batches land below the watermark and are invisible."""
-    base = _read_index(spark, f"{index_dir}/base", TRIANGLE_SCHEMA)
+    base = read_state(spark, index_dir, "base", TRIANGLE_SCHEMA)
     d = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
     fresh = (
@@ -234,107 +236,46 @@ def read_triangle(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
-    """Keep-2 fold of the per-user state rows plus replay-duplicate
-    delta collapse, with the shared tmp+rename+recover swap."""
-    out: dict = {}
-    fs, _ = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-    def _recover(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jold):
-            if fs.exists(jlive):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jlive)
-        if fs.exists(jtmp):
-            fs.delete(jtmp, True)
-
-    def _swap(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jlive):
-            fs.rename(jlive, jold)
-        fs.rename(jtmp, jlive)
-        fs.delete(jold, True)
-
-    _recover("state")
-    if fs.exists(jvm_path(f"{index_dir}/state")):
-        live = spark.read.schema(STATE_SCHEMA).parquet(
-            f"{index_dir}/state"
-        )
-        out["state_before"] = live.count()
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("batch_id").desc()
-        )
-        folded = (
-            live.dropDuplicates(["user_id", "batch_id"])
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 2)
-            .drop("_rn")
-        )
-        folded.repartition(1).write.parquet(f"{index_dir}/.state_tmp")
-        out["state_after"] = (
-            spark.read.schema(STATE_SCHEMA)
-            .parquet(f"{index_dir}/.state_tmp")
-            .count()
-        )
-        _swap("state")
-    # ---- delta -> base triangle: list-first watermark fold ------------
-    # (the transitions twin's protocol verbatim: fold exactly the
-    # listed files' rows above the old watermark, replay-collapsed,
-    # summed into the calendar^2-bounded base; delete the listed files)
-    _recover("base")
-    jdelta = jvm_path(f"{index_dir}/delta")
-    if not fs.exists(jdelta):
-        return out
-    files = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdelta)
-        if st.getPath().getName().startswith("part-")
-    ]
-    if not files:
-        return out
-    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
-    base = _read_index(spark, f"{index_dir}/base", TRIANGLE_SCHEMA)
-    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
-    hi = (
-        delta.filter(F.col("batch_id") > wm_old)
-        .agg(F.max("batch_id"))
-        .first()[0]
+    """Keep-2 fold of the per-user state rows plus the list-first
+    delta→base triangle fold, both through the shared
+    ``streaming/state.py`` protocols (recover/swap, readers fall back
+    to ``.old`` mid-swap; the fold sums replay-collapsed increments
+    above the old watermark into the calendar²-bounded base and
+    deletes exactly the listed files)."""
+    out = keepn_compact(
+        spark,
+        index_dir,
+        "state",
+        STATE_SCHEMA,
+        ("user_id",),
+        2,
+        # replays are bit-identical per (user, batch) — collapse those,
+        # not full-row dups (two batches CAN carry identical day arrays)
+        collapse=lambda df: df.dropDuplicates(["user_id", "batch_id"]),
     )
-    if hi is None:
-        for f in files:
-            fs.delete(jvm_path(f), False)
-        return out
-    fresh = (
-        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
-        .groupBy("batch_id", "user_id", "cohort_day", "offset_days")
-        .agg(F.max("delta").alias("delta"))
-    )
-    folded = (
-        base.select("cohort_day", "offset_days", F.col("n").alias("d"))
-        .unionByName(
-            fresh.select(
-                "cohort_day", "offset_days", F.col("delta").alias("d")
+    fold = list_first_fold(
+        spark,
+        index_dir,
+        delta_schema=DELTA_SCHEMA,
+        base_schema=TRIANGLE_SCHEMA,
+        collapse=lambda d: d.groupBy(
+            "batch_id", "user_id", "cohort_day", "offset_days"
+        ).agg(F.max("delta").alias("delta")),
+        fold=lambda base, fresh: (
+            base.select(
+                "cohort_day", "offset_days", F.col("n").alias("d")
             )
-        )
-        .groupBy("cohort_day", "offset_days")
-        .agg(F.sum("d").alias("n"))
-        .withColumn("wm", F.lit(int(hi)).cast("long"))
+            .unionByName(
+                fresh.select(
+                    "cohort_day", "offset_days", F.col("delta").alias("d")
+                )
+            )
+            .groupBy("cohort_day", "offset_days")
+            .agg(F.sum("d").alias("n"))
+        ),
     )
-    folded.repartition(1).write.parquet(f"{index_dir}/.base_tmp")
-    out["base_rows"] = (
-        spark.read.schema(TRIANGLE_SCHEMA)
-        .parquet(f"{index_dir}/.base_tmp")
-        .count()
-    )
-    _swap("base")
-    for f in files:
-        fs.delete(jvm_path(f), False)
-    out["delta_files"] = len(files)
-    out["wm"] = int(hi)
+    if fold:
+        out["base_rows"] = fold["rows_after"]
+        out["delta_files"] = fold["n_files"]
+        out["wm"] = fold["wm"]
     return out

@@ -48,9 +48,10 @@ from sparkstreamingflume_spark.functions.text import (
     cms_cells,
     tokens,
 )
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
+from sparkstreamingflume_spark.streaming.state import (
     _read_index,
+    list_first_fold,
+    read_state,
 )
 
 DELTA_SCHEMA = "d int, bucket long, cnt long, batch_id long"
@@ -113,7 +114,7 @@ def read_sketch(spark: SparkSession, index_dir: str) -> DataFrame:
     a broadcast single-row join, and replayed deltas collapse through a
     per-(batch_id, d, bucket) max (increments are deterministic, so
     duplicates are bit-identical)."""
-    base = _read_index(spark, f"{index_dir}/base", BASE_SCHEMA)
+    base = read_state(spark, index_dir, "base", BASE_SCHEMA)
     delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
     fresh = (
@@ -189,84 +190,26 @@ def compact_sketch(spark: SparkSession, index_dir: str) -> dict:
     deleted, so a crash between the two leaves base + still-present
     deltas <= wm — which every read already ignores.
 
-    Concurrent-append safe (usable OUTSIDE the foreachBatch thread): the
-    fold LISTS the delta part-files once, folds exactly that list,
-    derives the new watermark from the LISTED files' max batch_id, and
-    deletes exactly that list — a delta appended mid-fold is neither
-    deleted unfolded (it survives to the next fold) nor silently covered
-    by a too-high watermark (its batch_id, if newer than every listed
-    file, stays > wm and every read still adds it). Returns
-    {rows_before, rows_after, wm, n_files} or {} when there is nothing
-    to fold.
+    The list-first watermark protocol lives in
+    :func:`streaming.state.list_first_fold` (shared with the quantile /
+    transitions / retentions folds); this function contributes only
+    the CMS-specific replay collapse (per-(batch, cell) max) and the
+    cell-wise sum-merge. Returns {rows_before, rows_after, wm,
+    n_files} or {} when there is nothing to fold.
     """
-    fs, jroot = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    base_p, delta_p = f"{index_dir}/base", f"{index_dir}/delta"
-    jbase, jdelta = jvm_path(base_p), jvm_path(delta_p)
-    jold = jvm_path(f"{index_dir}/.base_old")
-    # sweep tmp dirs leaked by a fold that crashed mid-write
-    if fs.exists(jroot):
-        for st in fs.listStatus(jroot):
-            if st.getPath().getName().startswith(".base_compact_"):
-                fs.delete(st.getPath(), True)
-    # recover a crashed swap: old-with-no-live => rename back; else drop
-    if fs.exists(jold):
-        if fs.exists(jbase):
-            fs.delete(jold, True)
-        else:
-            fs.rename(jold, jbase)
-    if not fs.exists(jdelta):
-        return {}
-    files = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdelta)
-        if st.getPath().getName().startswith("part-")
-    ]
-    if not files:
-        return {}
-    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
-    base = _read_index(spark, base_p, BASE_SCHEMA)
-    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
-    hi = delta.filter(F.col("batch_id") > wm_old).agg(
-        F.max("batch_id")
-    ).first()[0]
-    if hi is None:
-        # every listed delta row is <= wm (replays of already-folded
-        # batches, whose counts base already carries): reads ignore
-        # them, but the files would otherwise accumulate forever on a
-        # stalled stream — reclaim exactly the listed files (a delta
-        # appended after the listing survives for the next fold)
-        for f in files:
-            fs.delete(jvm_path(f), False)
-        return {}
-    rows_before = delta.count() + base.count()
-    fresh = (
-        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
-        .groupBy("batch_id", "d", "bucket")
-        .agg(F.max("cnt").alias("cnt"))
+    return list_first_fold(
+        spark,
+        index_dir,
+        delta_schema=DELTA_SCHEMA,
+        base_schema=BASE_SCHEMA,
+        count_before=True,
+        collapse=lambda d: d.groupBy("batch_id", "d", "bucket").agg(
+            F.max("cnt").alias("cnt")
+        ),
+        fold=lambda base, fresh: (
+            base.select("d", "bucket", "cnt")
+            .unionByName(fresh.select("d", "bucket", "cnt"))
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        ),
     )
-    folded = (
-        base.select("d", "bucket", "cnt")
-        .unionByName(fresh.select("d", "bucket", "cnt"))
-        .groupBy("d", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("wm", F.lit(int(hi)).cast("long"))
-    )
-    tmp = f"{index_dir}/.base_compact_tmp"
-    # the folded sketch is <= CMS_D * CMS_W + 1 rows — one file
-    folded.repartition(1).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if fs.exists(jbase):
-        fs.rename(jbase, jold)
-    fs.rename(jvm_path(tmp), jbase)
-    fs.delete(jold, True)
-    # exactly the folded files — deltas appended mid-fold carry
-    # batch_id > hi = wm and remain visible to every read
-    for f in files:
-        fs.delete(jvm_path(f), False)
-    return {
-        "rows_before": rows_before,
-        "rows_after": rows_after,
-        "wm": hi,
-        "n_files": len(files),
-    }

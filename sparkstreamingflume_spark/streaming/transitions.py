@@ -66,9 +66,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingflume_spark.streaming.neardup import (
-    _hadoop_fs,
+from sparkstreamingflume_spark.streaming.state import (
     _read_index,
+    keepn_compact,
+    list_first_fold,
+    read_state,
 )
 
 DELTA_SCHEMA = (
@@ -86,7 +88,7 @@ def _last_state(spark: SparkSession, index_dir: str, before_batch: int | None):
     """One row per key: the newest persisted last-event row, optionally
     restricted to rows older than ``before_batch`` (the replay guard —
     a replayed batch must never pair with its own tail)."""
-    last = _read_index(spark, f"{index_dir}/last", LAST_SCHEMA)
+    last = read_state(spark, index_dir, "last", LAST_SCHEMA)
     if before_batch is not None:
         last = last.filter(F.col("batch_id") < F.lit(int(before_batch)))
     return last.groupBy("user_id").agg(
@@ -190,7 +192,7 @@ def _fresh_deltas(spark: SparkSession, index_dir: str) -> DataFrame:
     (batch, key, pair) by max (deterministic increments, duplicates
     bit-identical; a replayed boundary row is a subset, so max keeps
     the original)."""
-    base = _read_index(spark, f"{index_dir}/base", MATRIX_SCHEMA)
+    base = read_state(spark, index_dir, "base", MATRIX_SCHEMA)
     delta = _read_index(spark, f"{index_dir}/delta", DELTA_SCHEMA)
     wm = base.agg(F.coalesce(F.max("wm"), F.lit(-1)).alias("wm"))
     return (
@@ -205,7 +207,7 @@ def read_matrix(spark: SparkSession, index_dir: str) -> DataFrame:
     the folded base plus fresh deltas; bit-equal to
     ``q_event_transitions`` over the same in-order-fed rows
     (tests/test_stream_transitions_fb.py)."""
-    base = _read_index(spark, f"{index_dir}/base", MATRIX_SCHEMA)
+    base = read_state(spark, index_dir, "base", MATRIX_SCHEMA)
     fresh = _fresh_deltas(spark, index_dir)
     return (
         base.select("type_from", "type_to", F.col("n").alias("d"))
@@ -236,112 +238,49 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     Returns {last_before, last_after, delta_files, base_rows, wm} or
     {} keys for whichever side had nothing to do.
     """
-    out: dict = {}
-    fs, jroot = _hadoop_fs(spark, index_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-    def _recover(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jold):
-            if fs.exists(jlive):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jlive)
-        if fs.exists(jtmp):
-            fs.delete(jtmp, True)
-
-    def _swap(name: str) -> None:
-        jlive = jvm_path(f"{index_dir}/{name}")
-        jold = jvm_path(f"{index_dir}/.{name}_old")
-        jtmp = jvm_path(f"{index_dir}/.{name}_tmp")
-        if fs.exists(jlive):
-            fs.rename(jlive, jold)
-        fs.rename(jtmp, jlive)
-        fs.delete(jold, True)
-
     # ---- last: newest TWO rows per key -------------------------------
     # Keeping only the newest would break a replay of the newest batch
     # itself (its `batch_id < B` state read needs the predecessor row);
     # keep-2 per key makes replay-after-compaction EXACT, not merely a
     # tolerated subset: foreachBatch replays at most the last
     # uncommitted batch, whose predecessor row is always in the top 2.
-    _recover("last")
-    jlast = jvm_path(f"{index_dir}/last")
-    if fs.exists(jlast):
-        live = spark.read.schema(LAST_SCHEMA).parquet(f"{index_dir}/last")
-        out["last_before"] = live.count()
-        rn = F.row_number().over(
-            Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    out = keepn_compact(
+        spark,
+        index_dir,
+        "last",
+        LAST_SCHEMA,
+        ("user_id",),
+        2,
+        # replays are bit-identical per (user, batch) — max-collapse
+        collapse=lambda df: df.groupBy("user_id", "batch_id")
+        .agg(
+            F.max("last_null").alias("last_null"),
+            F.max("last_type").alias("last_type"),
         )
-        folded = (
-            live.groupBy("user_id", "batch_id")
-            .agg(
-                F.max("last_null").alias("last_null"),
-                F.max("last_type").alias("last_type"),
-            )
-            .select("user_id", "last_null", "last_type", "batch_id")
-            .withColumn("rn", rn)
-            .filter(F.col("rn") <= 2)
-            .drop("rn")
-        )
-        folded.repartition(1).write.parquet(f"{index_dir}/.last_tmp")
-        out["last_after"] = (
-            spark.read.schema(LAST_SCHEMA)
-            .parquet(f"{index_dir}/.last_tmp")
-            .count()
-        )
-        _swap("last")
-
+        .select("user_id", "last_null", "last_type", "batch_id"),
+    )
     # ---- delta -> base: list-first watermark fold ---------------------
-    _recover("base")
-    jdelta = jvm_path(f"{index_dir}/delta")
-    if not fs.exists(jdelta):
-        return out
-    files = [
-        st.getPath().toString()
-        for st in fs.listStatus(jdelta)
-        if st.getPath().getName().startswith("part-")
-    ]
-    if not files:
-        return out
-    delta = spark.read.schema(DELTA_SCHEMA).parquet(*files)
-    base = _read_index(spark, f"{index_dir}/base", MATRIX_SCHEMA)
-    wm_old = base.agg(F.coalesce(F.max("wm"), F.lit(-1))).first()[0]
-    hi = (
-        delta.filter(F.col("batch_id") > wm_old)
-        .agg(F.max("batch_id"))
-        .first()[0]
+    fold = list_first_fold(
+        spark,
+        index_dir,
+        delta_schema=DELTA_SCHEMA,
+        base_schema=MATRIX_SCHEMA,
+        collapse=lambda d: d.groupBy(
+            "batch_id", "user_id", "type_from", "type_to"
+        ).agg(F.max("delta").alias("delta")),
+        fold=lambda base, fresh: (
+            base.select("type_from", "type_to", F.col("n").alias("d"))
+            .unionByName(
+                fresh.select(
+                    "type_from", "type_to", F.col("delta").alias("d")
+                )
+            )
+            .groupBy("type_from", "type_to")
+            .agg(F.sum("d").alias("n"))
+        ),
     )
-    if hi is None:
-        # every listed row replays an already-folded batch — reclaim
-        for f in files:
-            fs.delete(jvm_path(f), False)
-        return out
-    fresh = (
-        delta.filter(F.col("batch_id") > F.lit(int(wm_old)))
-        .groupBy("batch_id", "user_id", "type_from", "type_to")
-        .agg(F.max("delta").alias("delta"))
-    )
-    folded = (
-        base.select("type_from", "type_to", F.col("n").alias("d"))
-        .unionByName(
-            fresh.select("type_from", "type_to", F.col("delta").alias("d"))
-        )
-        .groupBy("type_from", "type_to")
-        .agg(F.sum("d").alias("n"))
-        .withColumn("wm", F.lit(int(hi)).cast("long"))
-    )
-    folded.repartition(1).write.parquet(f"{index_dir}/.base_tmp")
-    out["base_rows"] = (
-        spark.read.schema(MATRIX_SCHEMA)
-        .parquet(f"{index_dir}/.base_tmp")
-        .count()
-    )
-    _swap("base")
-    for f in files:
-        fs.delete(jvm_path(f), False)
-    out["delta_files"] = len(files)
-    out["wm"] = int(hi)
+    if fold:
+        out["base_rows"] = fold["rows_after"]
+        out["delta_files"] = fold["n_files"]
+        out["wm"] = fold["wm"]
     return out

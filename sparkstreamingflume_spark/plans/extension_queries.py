@@ -4470,8 +4470,16 @@ def _semantic_clusters(knn: DataFrame) -> DataFrame:
     ).withColumn("cluster_size", F.count("*").over(w).cast("long"))
 
 
-def materialize_knn_graph(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once cache of the kNN graph parquet for ``sf_dir``.
+def materialize_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = KNN_NPROBE,
+    index_nprobe: int = 1,
+    k: int = KNN_K,
+) -> str:
+    """Build-once cache of the kNN graph parquet for ``sf_dir`` at the
+    given dial (defaults = the certified ``q_knn_graph`` operating
+    point, sourced from the same module constants).
 
     The production SemDeDup shape: any pipeline that runs both
     ``q_knn_graph`` and ``q_dedup_semantic`` (as a curation run does)
@@ -4484,11 +4492,15 @@ def materialize_knn_graph(spark: SparkSession, sf_dir: str) -> str:
     driver fixtures are immutable; for mutable corpora delete the
     cache dir on re-ingest (or point the env var at a dated dir).
 
-    The cache key includes the graph DIAL (nprobe / index_nprobe / k)
-    alongside the fixture path — a dial change must never serve edges
-    built at another operating point (caught live when the round-9
-    nprobe bump silently read a stale nprobe=3 graph and the oracle
-    hash flagged it).
+    The cache key is derived from the ACTUAL dial arguments passed to
+    :func:`knn_graph` (round-9 verdict "What's wrong #2": the key
+    previously hardcoded the module defaults while the function took
+    no dial parameters, so a caller wanting a custom operating point
+    silently got the default graph) — a dial change must never serve
+    edges built at another operating point (caught live when the
+    round-9 nprobe bump silently read a stale nprobe=3 graph and the
+    oracle hash flagged it; two dials → two cache dirs is pinned in
+    tests/test_semantic_dedup.py).
     """
     import hashlib
     import os
@@ -4497,17 +4509,19 @@ def materialize_knn_graph(spark: SparkSession, sf_dir: str) -> str:
         "SPARK_GRAFT_GRAPH_DIR", "spark-warehouse/knn_graph"
     )
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|np{KNN_NPROBE}|inp1|k{KNN_K}".encode(
+        f"{os.path.abspath(sf_dir)}|np{nprobe}|inp{index_nprobe}|k{k}".encode(
             "utf-8"
         )
     ).hexdigest()[:16]
     path = f"{base}/{key}"
-    from sparkstreamingflume_spark.streaming.neardup import _hadoop_fs
+    from sparkstreamingflume_spark.streaming.state import _hadoop_fs
 
     fs, _ = _hadoop_fs(spark, path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     if not fs.exists(jvm_path(f"{path}/_SUCCESS")):
-        knn_graph(spark, sf_dir).write.mode("overwrite").parquet(path)
+        knn_graph(
+            spark, sf_dir, nprobe=nprobe, index_nprobe=index_nprobe, k=k
+        ).write.mode("overwrite").parquet(path)
     return path
 
 

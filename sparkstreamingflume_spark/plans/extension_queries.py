@@ -4320,12 +4320,107 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(spark, sf_dir)
 
 
+# SRP (sign-random-projection) candidate arm for the kNN graph — the
+# round-9 verdict "What's wrong #1" lever for the near-random regime
+# where cell gating alone bottoms out (recall 0.415 at 40 cells,
+# BASELINE.md frontier). The ±1 hyperplane signs are a FIXED PUBLIC
+# CONSTANT derived from md5("srp:<plane>") bytes, embedded as literal
+# arrays in BOTH the Spark plan and the DuckDB oracle — no runtime
+# hashing and no cross-engine hash-compat surface. Bit budget: with
+# b-bit bands, expected bucket size is n_reps / 2^b; 8-bit bands keep
+# the 20k frontier fixture's buckets (~78) under BUCKET_CEIL=128. At
+# larger corpora RAISE lsh_bits ≈ log2(n / 96) or the ceiling prune
+# (the recall contract: hot buckets are dropped, never enumerated
+# quadratically) silently disables the arm.
+KNN_LSH_BITS = 8
+KNN_LSH_BANDS = 24
+_SRP_MAXDIM = 64  # fixture embedding width; slice()d down to size(emb)
+
+
+def _srp_signs(n_planes: int, dim: int = _SRP_MAXDIM) -> list[list[int]]:
+    """±1 sign matrix, row p = bits of md5(f"srp:{p}")."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        h = hashlib.md5(f"srp:{p}".encode("utf-8")).digest()
+        out.append(
+            [1 if (h[j // 8] >> (j % 8)) & 1 else -1 for j in range(dim)]
+        )
+    return out
+
+
+def _srp_signs_sql(n_planes: int) -> str:
+    """The literal array<array<double>> — identical text works as a
+    Spark expression and inside DuckDB SQL (engine-portable literal)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s}.0" for s in row) + ")"
+            for row in _srp_signs(n_planes)
+        )
+        + ")"
+    )
+
+
+def _srp_candidates(reps: DataFrame, bands: int, bits: int) -> DataFrame:
+    """Distinct SRP band-bucket candidate pairs (vec_a < vec_b) over a
+    (vec_id, emb, norm) rep frame — the knn_graph composition of the
+    q_dedup_embed_lsh machinery (same band-AND recall shape, same
+    BUCKET_CEIL prune), with the fixed literal sign matrix replacing
+    the corpus-drawn hyperplanes so ANY fixture gets the same planes.
+
+    100 TB shape: one linear pass builds the per-vector signature
+    (bands × bits sign-dots, whole-stage-codegen lambdas over the
+    broadcast literal matrix), candidates come from (band, band_sig)
+    equi-self-joins — never an all-pairs scan — and buckets above
+    BUCKET_CEIL are dropped before the join.
+    """
+    dots = F.expr(
+        f"transform({_srp_signs_sql(bands * bits)}, srow -> "
+        "aggregate(zip_with(emb, slice(srow, 1, size(emb)),"
+        " (x, s) -> x * s), 0.0D, (acc, x) -> acc + x))"
+    )
+    sigs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"aggregate(slice(_dots, b * {bits} + 1, {bits}), 0L,"
+        " (acc, d) -> acc * 2 +"
+        " (CASE WHEN d >= 0.0D THEN 1L ELSE 0L END)))"
+    )
+    sig = (
+        reps.withColumn("_dots", dots)
+        .select("vec_id", F.posexplode(sigs).alias("band", "band_sig"))
+    )
+    sw = Window.partitionBy("band", "band_sig")
+    sig = (
+        sig.withColumn("bsz_", F.count("*").over(sw))
+        .filter(F.col("bsz_") <= BUCKET_CEIL)
+        .drop("bsz_")
+    )
+    x, y = sig.alias("x"), sig.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+
+
 def knn_graph(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int = KNN_NPROBE,
     index_nprobe: int = 1,
     k: int = KNN_K,
+    lsh_bands: int = 0,
+    lsh_bits: int = KNN_LSH_BITS,
 ) -> DataFrame:
     """The parametrized kNN-graph plan behind ``q_knn_graph`` — the
     recall/cost dial (tools/knn_frontier.py measures the frontier;
@@ -4339,6 +4434,11 @@ def knn_graph(
     (q, nbr) pair can now arise once per shared cell, so scored pairs
     are deduplicated by max before ranking (cos_ppm is a pure function
     of the pair — duplicates are bit-identical).
+    ``lsh_bands`` > 0 UNIONS an SRP band-bucket candidate arm into the
+    pool before ranking (``q_knn_graph_lsh`` ships bands=24 × bits=8;
+    measured frontier in BASELINE.md) — the structure-free insurance
+    for near-random embeddings, where cell gating alone bottoms out;
+    clustered corpora don't need it (cells already reach ~1.0).
     """
     assigned = _adaptive_assign(spark, sf_dir)
     probes = assigned.filter(F.col("rn") <= nprobe).select(
@@ -4347,6 +4447,47 @@ def knn_graph(
     cells = assigned.filter(F.col("rn") <= index_nprobe).select(
         "vec_id", "emb", "norm", "centroid_id"
     )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("nbr_id")
+    )
+    if lsh_bands:
+        # candidate-pair architecture: every generator contributes bare
+        # (q_id, nbr_id) pairs, distinct once, each scored exactly once
+        reps = assigned.filter(F.col("rn") == 1).select(
+            "vec_id", "emb", "norm"
+        )
+        cell_pairs = (
+            probes.alias("a")
+            .join(
+                cells.alias("b"),
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("q_id"),
+                F.col("b.vec_id").alias("nbr_id"),
+            )
+        )
+        srp = _srp_candidates(reps, lsh_bands, lsh_bits)
+        srp_pairs = srp.select(
+            F.col("vec_a").alias("q_id"), F.col("vec_b").alias("nbr_id")
+        ).unionByName(
+            srp.select(
+                F.col("vec_b").alias("q_id"),
+                F.col("vec_a").alias("nbr_id"),
+            )
+        )
+        cand = cell_pairs.unionByName(srp_pairs).distinct()
+        scored = (
+            cand.join(
+                reps.alias("a"), F.col("a.vec_id") == F.col("q_id")
+            )
+            .join(reps.alias("b"), F.col("b.vec_id") == F.col("nbr_id"))
+            .select("q_id", "nbr_id", _cos_ppm().cast("long").alias("cos_ppm"))
+        )
+        return scored.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).filter(F.col("rn") <= k)
     a, b = probes.alias("a"), cells.alias("b")
     scored = a.join(
         b,
@@ -4361,9 +4502,6 @@ def knn_graph(
         scored = scored.groupBy("q_id", "nbr_id").agg(
             F.max("cos_ppm").alias("cos_ppm")
         )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos_ppm").desc(), F.col("nbr_id")
-    )
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).filter(F.col("rn") <= k)

@@ -1,0 +1,240 @@
+"""Streaming incremental kNN graph (streaming/knn.py).
+
+Certification:
+
+* **bootstrap == batch graph** — a freshly-bootstrapped index serves
+  exactly ``knn_graph``'s certified edges, and the SemDeDup increment
+  over the live index equals ``q_dedup_semantic`` (the "from-graph
+  query reads the live index unchanged" contract).
+* **exact oracle at full probe** — with nprobe >= cell count the
+  candidate set is every strictly-prior rep, so each new vector's
+  edge list must equal an independently-computed numpy brute-force
+  top-k over earlier vectors (ppm floor, nbr_id tie-break).
+* **batch-granularity invariance** — an id-ordered feed produces the
+  same edges fed as one batch or split arbitrarily (the
+  backward-looking candidate rule makes edges a function of the
+  sequence, not the boundaries).
+* replay / exact-dup / compaction — the neardup index contracts.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vectors():
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    out = {}
+    for i, e in zip(t["vec_id"], t["embedding"]):
+        if e is not None and not any(x is None for x in e):
+            out[i] = [float(x) for x in e]
+    return out
+
+
+def _write_corpus(spark, d, vecs):
+    spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def _batch_df(spark, vecs):
+    return spark.createDataFrame(
+        sorted(vecs.items()), "vec_id long, embedding array<double>"
+    )
+
+
+def _edges(spark, ix):
+    from sparkstreamingflume_spark.streaming.knn import read_edges
+
+    return {tuple(r) for r in read_edges(spark, str(ix)).collect()}
+
+
+def _expected_topk(qv, cand, k=5):
+    """Brute-force (nbr_id, cos_ppm, rn) list for one query vector over
+    a {vec_id: vec} candidate dict — ppm floor, score desc, id asc."""
+    nq = math.sqrt(sum(x * x for x in qv))
+    scored = []
+    for i, v in sorted(cand.items()):
+        ppm = math.floor(
+            sum(a * b for a, b in zip(qv, v))
+            * 1_000_000.0
+            / (nq * math.sqrt(sum(x * x for x in v)))
+        )
+        scored.append((i, int(ppm)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [
+        (i, ppm, rn + 1) for rn, (i, ppm) in enumerate(scored[:k])
+    ]
+
+
+def test_bootstrap_serves_the_certified_batch_graph(spark, tmp_path):
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        _semantic_clusters,
+        knn_graph,
+    )
+    from sparkstreamingflume_spark.plans.registry import REGISTRY
+    from sparkstreamingflume_spark.streaming.knn import (
+        bootstrap_knn_index,
+        read_edges,
+    )
+
+    ix = tmp_path / "ix"
+    stats = bootstrap_knn_index(spark, SF, str(ix))
+    assert stats["edges"] > 0 and stats["members"] > 0
+    want = {tuple(r) for r in knn_graph(spark, SF).collect()}
+    assert _edges(spark, ix) == want
+    # warm-index SemDeDup == the certified inline query
+    live = {
+        tuple(r)
+        for r in _semantic_clusters(read_edges(spark, str(ix))).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in REGISTRY["q_dedup_semantic"].build(spark, SF).collect()
+    }
+    assert live == inline
+
+
+def test_exact_oracle_at_full_probe_and_granularity_invariance(
+    spark, tmp_path
+):
+    from sparkstreamingflume_spark.streaming.knn import (
+        bootstrap_knn_index,
+        knn_update_batch,
+    )
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    new = {i: vecs[i] for i in ids[30:]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+
+    ix1 = tmp_path / "one"
+    bootstrap_knn_index(spark, corpus, str(ix1))
+    boot_edges = _edges(spark, ix1)
+    knn_update_batch(_batch_df(spark, new), 0, str(ix1), nprobe=8)
+    one = _edges(spark, ix1)
+
+    # independently-computed oracle: candidates for q = all boot reps
+    # plus smaller-id new vectors (nprobe=8 == all 8 cells)
+    want = set(boot_edges)
+    new_ids = sorted(new)
+    for pos, q in enumerate(new_ids):
+        cand = dict(boot)
+        cand.update({i: new[i] for i in new_ids[:pos]})
+        for nbr, ppm, rn in _expected_topk(vecs[q], cand):
+            want.add((q, nbr, ppm, rn))
+    assert one == want
+
+    # same feed in three id-ordered splits -> identical edges
+    ix3 = tmp_path / "three"
+    bootstrap_knn_index(spark, corpus, str(ix3))
+    for b, lo in enumerate(range(0, len(new_ids), 7)):
+        part = {i: new[i] for i in new_ids[lo : lo + 7]}
+        knn_update_batch(_batch_df(spark, part), b, str(ix3), nprobe=8)
+    assert _edges(spark, ix3) == one
+
+
+def test_replay_exact_dups_and_compaction(spark, tmp_path):
+    from sparkstreamingflume_spark.streaming.knn import (
+        MEMBERS_SCHEMA,
+        bootstrap_knn_index,
+        compact_index,
+        knn_update_batch,
+        read_edges,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+
+    # batch 0: ten genuinely-new vectors plus one exact COPY of a
+    # bootstrap vector under a fresh id — the copy gets no edges and
+    # no member row (it is not a rep)
+    copy_id = 9_999
+    b0 = {i: vecs[i] for i in ids[30:40]}
+    b0[copy_id] = list(boot[ids[0]])
+    knn_update_batch(_batch_df(spark, b0), 0, str(ix), nprobe=8)
+    base = _edges(spark, ix)
+    assert not any(q == copy_id for q, *_ in base)
+    members = read_state(spark, str(ix), "members", MEMBERS_SCHEMA)
+    assert members.filter(F.col("vec_id") == copy_id).count() == 0
+
+    # replay of batch 0 appends only bit-identical rows
+    knn_update_batch(_batch_df(spark, b0), 0, str(ix), nprobe=8)
+    assert _edges(spark, ix) == base
+
+    # compaction preserves reads and the replay contract
+    stats = compact_index(spark, str(ix))
+    assert stats["members"][1] <= stats["members"][0]
+    assert _edges(spark, ix) == base
+    knn_update_batch(_batch_df(spark, b0), 0, str(ix), nprobe=8)
+    assert _edges(spark, ix) == base
+
+    # a later batch sees batch 0's vectors as candidates
+    b1 = {i: vecs[i] for i in ids[40:]}
+    knn_update_batch(_batch_df(spark, b1), 1, str(ix), nprobe=8)
+    later = _edges(spark, ix)
+    b0_ids = set(b0) - {copy_id}
+    assert any(
+        n in b0_ids for q, n, *_ in later if q in set(b1)
+    ), "later batch never matched batch-0 members"
+    # rn stays a valid ranking per query
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for q, n, ppm, rn in later:
+        per_q[q].append((rn, ppm))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [r for r, _ in lst] == list(range(1, len(lst) + 1)), q
+        assert all(
+            lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1)
+        ), q
+
+
+def test_attach_runs_as_real_stream(spark, tmp_path):
+    import json
+
+    from sparkstreamingflume_spark.streaming.knn import (
+        attach_knn,
+        bootstrap_knn_index,
+    )
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+    before = _edges(spark, ix)
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with open(src / "a.json", "w") as f:
+        for i in ids[30:]:
+            f.write(
+                json.dumps({"vec_id": i, "embedding": vecs[i]}) + "\n"
+            )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    q = attach_knn(
+        stream, str(ix), str(tmp_path / "ckpt"), nprobe=8
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    after = _edges(spark, ix)
+    assert before < after
+    assert {q_ for q_, *_ in after - before} == set(ids[30:])

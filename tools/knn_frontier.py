@@ -27,7 +27,23 @@ import time
 
 sys.path.insert(0, ".")
 
-POINTS = [(1, 1), (2, 1), (3, 1), (5, 1), (8, 1), (3, 2), (3, 3)]
+# (nprobe, index_nprobe, lsh_bands) — lsh_bands > 0 composes the SRP
+# band-bucket candidate arm (round-10: the near-random-regime lever);
+# bits fixed at the shipped KNN_LSH_BITS=8
+POINTS = [
+    (1, 1, 0),
+    (2, 1, 0),
+    (3, 1, 0),
+    (5, 1, 0),
+    (8, 1, 0),
+    (3, 2, 0),
+    (3, 3, 0),
+    (1, 1, 24),
+    (3, 1, 16),
+    (3, 1, 24),
+    (5, 1, 16),
+    (5, 1, 24),
+]
 # planted fixtures sized so adaptive K = n/500 = 40 cells >> max nprobe
 # (the driver fixtures have only 8 cells, where nprobe=8 IS brute force
 # and the cost curve is invisible)
@@ -89,11 +105,15 @@ def _measure(spark, sf_dir: str, fixture: str) -> list[dict]:
     base_sec = None
     # untimed warmup so the first point doesn't absorb JVM/codegen cost
     knn_graph(spark, sf_dir, nprobe=1).count()
-    for nprobe, inprobe in POINTS:
+    for nprobe, inprobe, lsh_bands in POINTS:
         t0 = time.time()
         got: dict = {}
         for r in knn_graph(
-            spark, sf_dir, nprobe=nprobe, index_nprobe=inprobe
+            spark,
+            sf_dir,
+            nprobe=nprobe,
+            index_nprobe=inprobe,
+            lsh_bands=lsh_bands,
         ).collect():
             got.setdefault(r.q_id, set()).add(r.nbr_id)
         sec = time.time() - t0
@@ -103,6 +123,7 @@ def _measure(spark, sf_dir: str, fixture: str) -> list[dict]:
             "fixture": fixture,
             "nprobe": nprobe,
             "index_nprobe": inprobe,
+            "lsh_bands": lsh_bands,
             "recall": round(_recall(got, exact, KNN_K), 3),
             "sec": round(sec, 2),
             "cost_x": round(sec / base_sec, 2),

@@ -154,6 +154,16 @@ def main() -> None:
                 "sf1": big["queries"],
                 "total_sf0.1": small["value"],
                 "total_sf1": big["value"],
+                # per-scale host-speed canary (bench.py's fixed-work
+                # md5 microbench) — round-9 verdict task 5: every
+                # timing artifact carries the box-speed reading, so a
+                # cross-round comparison can normalize to total/canary
+                # instead of arguing box state from prose. Noise
+                # floor: same-box canary spread measured ~13%
+                # (BASELINE.md trend row) — treat <20% moves of
+                # total/canary as noise.
+                "canary_sf0.1": small.get("canary_sec"),
+                "canary_sf1": big.get("canary_sec"),
                 "ratio": ratio,
                 "flagged": flagged,
                 "gate": GATE_RATIO,

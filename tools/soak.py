@@ -822,10 +822,31 @@ def main() -> None:
                 f"dur={p['durationMs']['triggerExecution'] / 1000.0:.2f}s",
                 file=sys.stderr,
             )
+    # host-speed canary (bench.py's fixed-work md5 microbench) so soak
+    # rows are cross-box comparable — round-9 verdict task 5; <20%
+    # moves of a normalized number are noise (BASELINE.md trend row)
+    def _canary() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        (
+            spark.range(10_000_000)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .agg(F.count(F.when(F.col("h") > "f0", 1)))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
+    _canary()  # untimed warm-up
+    canary_sec = round(sorted(_canary() for _ in range(3))[1], 3)
+
     out = {
         "metric": "streaming_soak",
         "mode": mode,
         "rows_per_second_target": rows_per_sec,
+        "canary_sec": canary_sec,
         "trigger_s": trigger_s,
         "batches": len(durs),
         "batch_s_p50": pct(0.5),

@@ -108,14 +108,16 @@ def primary_queries() -> dict[str, Query]:
 # column before rotating). (2) The round-10 plan-touched queries —
 # q_dedup_semantic_from_graph (materialize_knn_graph is now parametrized
 # by dial and the cache key is derived from the actual dial arguments, so
-# the materialized-graph lineage changed) and q_knn_graph (re-anchor
-# alongside the dial work and the new 40-cell frontier row). (3) The
-# remaining 3 slots go to the widest round-8 rows (they re-certify at r11
-# by the invariant, but pre-empting the widest ones — the big-big TPC-H
-# joins and the block-scrub corpus rewrite — flattens the r11 rotation).
-# The 36 remaining round-8-green queries rest on validate.py + the
-# oracle-extras pytest gate (same compare, run every session) and are
-# first in line for round 11.
+# the materialized-graph lineage changed), q_knn_graph (re-anchor
+# alongside the dial work and the new 40-cell frontier row), and
+# q_knn_graph_lsh (NEW this round: the SRP-composed near-random-regime
+# variant — a newly registered query certifies in its landing round).
+# (3) The remaining 2 slots go to the widest round-8 rows (they
+# re-certify at r11 by the invariant, but pre-empting the widest ones —
+# the big-big TPC-H joins — flattens the r11 rotation). The 37 remaining
+# round-8-green queries (incl. q_dedup_block_scrub, displaced by the new
+# registration) rest on validate.py + the oracle-extras pytest gate
+# (same compare, run every session) and are first in line for round 11.
 
 CERT_WINDOW: tuple[str, ...] = (
     # -- the 45 round-7-stale rows (the staleness frontier) ------------------
@@ -164,13 +166,13 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_topk",
     "q_union",
     "q_window_tumbling",
-    # -- round-10 plan-touched (knn dial parametrization) --------------------
+    # -- round-10 plan-touched / newly registered ----------------------------
     "q_dedup_semantic_from_graph",
     "q_knn_graph",
+    "q_knn_graph_lsh",
     # -- widest round-8 rows, pre-empting the r11 frontier -------------------
     "q_tpch_q3",
     "q_tpch_q5",
-    "q_dedup_block_scrub",
 )
 
 

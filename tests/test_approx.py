@@ -483,3 +483,71 @@ def test_knn_graph_recall_and_invariants(spark):
         len(single.get(q, set()) & set(exact[q])) for q in ids
     )
     assert hits > single_hits, (hits, single_hits)
+
+
+def test_knn_graph_lsh_arm_live_and_recall_superset(spark):
+    """q_knn_graph_lsh (the SRP-composed near-random-regime variant,
+    round-10): (a) the SRP arm must be LIVE on the fixture — nonzero
+    band-bucket candidate pairs, i.e. the BUCKET_CEIL prune has not
+    silently disabled it (the documented lsh_bits contract); (b) its
+    scores agree with the independent numpy reference; (c) its edge
+    recall is >= the plain dial's BY CONSTRUCTION (superset candidate
+    pool + exact rescoring: any candidate that displaces an exact
+    top-K neighbor has a higher cosine and is therefore itself exact
+    top-K), so the composed form can never be a recall regression."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sparkstreamingflume_spark.plans import REGISTRY
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        KNN_K,
+        KNN_LSH_BANDS,
+        KNN_LSH_BITS,
+        _emb_norm,
+        _srp_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # (a) the arm is live: bucket pairs exist after the ceiling prune
+    reps = _emb_norm(spark, sf)
+    n_srp = _srp_candidates(reps, KNN_LSH_BANDS, KNN_LSH_BITS).count()
+    assert n_srp > 0, "SRP arm silently disabled (all buckets pruned?)"
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    vecs = {
+        i: np.array(e, dtype=np.float64)
+        for i, e in zip(tbl["vec_id"], tbl["embedding"])
+        if e is not None and not any(x is None for x in e)
+    }
+    ids = sorted(vecs)
+    norms = {i: math.sqrt(float(vecs[i] @ vecs[i])) for i in ids}
+
+    def cos_ppm(a, b):
+        return math.floor(
+            float(vecs[a] @ vecs[b]) * 1_000_000.0 / (norms[a] * norms[b])
+        )
+
+    exact = {
+        q: set(
+            sorted(
+                (i for i in ids if i != q),
+                key=lambda n: (-cos_ppm(q, n), n),
+            )[:KNN_K]
+        )
+        for q in ids
+    }
+
+    def edge_hits(name):
+        got = {}
+        for r in REGISTRY[name].build(spark, sf).collect():
+            got.setdefault(r.q_id, set()).add(r.nbr_id)
+            # (b) scores agree with the reference
+            assert r.cos_ppm == cos_ppm(r.q_id, r.nbr_id), (r.q_id, r.nbr_id)
+        return sum(len(got.get(q, set()) & exact[q]) for q in ids)
+
+    lsh_hits = edge_hits("q_knn_graph_lsh")
+    plain_hits = edge_hits("q_knn_graph")
+    # (c) superset candidates can never lose recall
+    assert lsh_hits >= plain_hits, (lsh_hits, plain_hits)

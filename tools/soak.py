@@ -25,6 +25,11 @@ thread every COMPACT_EVERY batches — the documented scheduling slot —
 recording per-compaction duration, index file counts before/after, and
 key-row counts, so the small-file knob is measured UNDER load instead of
 only asserted in unit tests).
+| knn (incremental kNN-graph maintenance, streaming/knn.py: 50k-vector
+bootstrap freezes the geometry, then per-batch member-index probes +
+edge appends with 20%% exact-replay rows and in-loop compaction;
+records first-vs-last batch durations because the frozen-geometry
+candidate load grows with corpus size).
 Prints one JSON line with batch-duration percentiles, sustained rate,
 and (for stateful modes) state-store rows/bytes (max + last batch).
 """
@@ -92,6 +97,11 @@ def main() -> None:
         # weight class again; the fold is O(registers) = constant
         "hdr": 5,
         "hdr_compact": 10,
+        # knn probes the persisted member index per batch (per-vector
+        # candidate load = nprobe * corpus/cells, growing with stream
+        # age under the frozen bootstrap geometry) — index-read floor
+        # plus a real scoring load; reference bar like the fb twins
+        "knn": 20,
     }.get(mode, 2)
     # box-speed compensation without editing the mode table: the
     # Python-stateful floor scales with host speed (the round-8 box runs
@@ -743,6 +753,93 @@ def main() -> None:
             .start()
         )
         transformed = None
+    elif mode == "knn":
+        # incremental kNN-graph maintenance (streaming/knn.py): bootstrap
+        # freezes the geometry over a 50k synthetic corpus (adaptive
+        # K = 100 cells), then every batch probes the persisted member
+        # index and appends edges for its new vectors. 20% of streamed
+        # rows replay an earlier seed's embedding, exercising the
+        # exact-dup collapse (no edges, not appended). The per-vector
+        # candidate load is nprobe * members/cells — it GROWS with
+        # stream age under the frozen geometry (the documented
+        # incremental-IVF trade: re-bootstrap when the corpus has
+        # doubled), so the soak records first-vs-last steady batch
+        # durations, not just percentiles. Compaction runs in the loop
+        # (the production posture): min-batch_id per key, keep the
+        # replay contract.
+        import tempfile
+
+        import numpy as np
+
+        from sparkstreamingflume_spark.streaming import knn as KN
+
+        tmp_sink_dir = tempfile.mkdtemp(prefix="soak_knn_")
+        boot_dir = f"{tmp_sink_dir}/boot"
+        n_boot, dim = 50_000, 64
+        rng = np.random.default_rng(11)
+        spark.createDataFrame(
+            [
+                (i, rng.normal(size=dim).tolist())
+                for i in range(n_boot)
+            ],
+            "vec_id long, embedding array<double>",
+        ).write.parquet(f"{boot_dir}/embeddings.parquet")
+        ix_dir = f"{tmp_sink_dir}/ix"
+        t0 = time.time()
+        boot_stats = KN.bootstrap_knn_index(spark, boot_dir, ix_dir)
+        bootstrap_s = round(time.time() - t0, 1)
+        # fresh rows: deterministic pseudo-random 64-dim vectors from a
+        # per-row seed; every 5th row reuses an EARLIER row's seed (the
+        # replay/dup path). vec_ids offset far above the bootstrap ids.
+        seed = F.when(
+            (F.col("value") % 5 == 0) & (F.col("value") >= 50),
+            F.expr("value div 50"),
+        ).otherwise(F.col("value"))
+        emb = F.expr(
+            "transform(sequence(0, 63), j ->"
+            " pmod(hash(_seed, j), 2000001) / 1000000.0 - 1.0)"
+        )
+        vecs = (
+            rate.withColumn("_seed", seed)
+            .select(
+                (F.col("value") + F.lit(10_000_000)).alias("vec_id"),
+                emb.alias("embedding"),
+            )
+        )
+        compactions: list[dict] = []
+        compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
+
+        def _knn_files() -> int:
+            import glob as _g
+
+            return len(_g.glob(f"{ix_dir}/members/*.parquet")) + len(
+                _g.glob(f"{ix_dir}/edges/*.parquet")
+            )
+
+        def _knn_cb(b, bid):
+            KN.knn_update_batch(b, bid, ix_dir)
+            if bid > 0 and bid % compact_every == 0:
+                files_before = _knn_files()
+                t0 = time.time()
+                st = KN.compact_index(b.sparkSession, ix_dir)
+                compactions.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        "files_before": files_before,
+                        "files_after": _knn_files(),
+                        "rows": {k: list(v) for k, v in st.items()},
+                    }
+                )
+
+        q = (
+            vecs.writeStream.foreachBatch(_knn_cb)
+            .option("checkpointLocation", f"{tmp_sink_dir}/ckpt")
+            .outputMode("append")
+            .trigger(processingTime=f"{trigger_s} seconds")
+            .start()
+        )
+        transformed = None
     elif mode in ("routed", "dual"):
         # round-robin over all six record types through the one-pass
         # router; pick prefix+filler via element_at FIRST so only one
@@ -951,6 +1048,26 @@ def main() -> None:
             out["index_files_final"] = _hdr_files()
             if mode == "hdr_compact":
                 out["compactions"] = compactions
+        elif mode == "knn":
+            from sparkstreamingflume_spark.streaming import knn as KN
+
+            out["bootstrap"] = boot_stats
+            out["bootstrap_s"] = bootstrap_s
+            out["members_rows"] = KN.read_state(
+                spark, ix_dir, "members", KN.MEMBERS_SCHEMA
+            ).count()
+            out["edges_rows"] = KN.read_edges(spark, ix_dir).count()
+            out["index_files_final"] = _knn_files()
+            out["compactions"] = compactions
+            # frozen-geometry growth: per-vector candidate load rises
+            # with members/cells, so report the slope, not just p50
+            raw = [
+                p["durationMs"]["triggerExecution"] / 1000.0
+                for p in steady
+            ]
+            if len(raw) >= 6:
+                out["batch_s_first3_mean"] = round(sum(raw[:3]) / 3, 2)
+                out["batch_s_last3_mean"] = round(sum(raw[-3:]) / 3, 2)
         elif mode == "transitions_fb":
             from pyspark.sql import functions as FF
 

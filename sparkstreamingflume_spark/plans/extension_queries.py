@@ -4306,9 +4306,14 @@ KNN_NPROBE = 5
     "indexed side stays home-cell-only, so candidates are n*{NP}*{T} "
     "(still linear), no (q, nbr) pair repeats, and measured edge "
     "recall vs the uncelled exact graph rises 0.25 -> 0.79/0.81 at "
-    "nprobe={NP} (ship point from the measured frontier, BASELINE.md; "
-    "pinned >= 0.7 by tests/test_approx.py; ~1.0 on clustered "
-    "corpora). "
+    "nprobe={NP} on the 8-cell driver fixtures (ship point from the "
+    "measured frontier, BASELINE.md; pinned >= 0.7 by "
+    "tests/test_approx.py). BOTH regimes, quoted per the frontier: "
+    "clustered corpora (real embedding distributions) measure ~1.0 at "
+    "40 cells, while 40-cell NEAR-RANDOM vectors — the true worst "
+    "case, where recall at fixed nprobe falls with cell count — "
+    "measure 0.415; corpora known to be weakly clustered should use "
+    "q_knn_graph_lsh (the SRP-composed variant, 0.663 there). "
     "Honest edge case (mirrored in the oracle): a rep whose probed "
     "cells hold no other members emits no rows — IVF semantics, never "
     "silent padding. Extra: certified by the pytest oracle "

@@ -1,10 +1,13 @@
 """kNN-graph recall/cost frontier (round-9 verdict task 4).
 
 Measures edge recall vs the uncelled exact graph and wall-clock cost
-for the multiprobe dial of ``knn_graph`` (plans/extension_queries.py):
-query-side nprobe in {1, 2, 3, 5, 8} plus symmetric index-side
-multiprobe points — the residual recall lever where a true neighbor's
-HOME cell is outside every probed cell but a shared NEAR cell exists.
+for the dials of ``knn_graph`` (plans/extension_queries.py):
+query-side nprobe in {1, 2, 3, 5, 8}, symmetric index-side multiprobe
+points — the residual recall lever where a true neighbor's HOME cell
+is outside every probed cell but a shared NEAR cell exists — and
+(round 10) SRP band-bucket composition points (``lsh_bands`` > 0, the
+cell-count-independent arm for the near-random regime; the measured
+q_knn_graph_lsh ship decision is in BASELINE.md).
 
 The synthetic fixture embeddings are near-random (the worst case for
 cell gating: true neighbors scatter uniformly across cells, so recall

@@ -112,6 +112,10 @@ EXTRA_QUERIES = (
     # bench.py's untimed warm-up pass builds the cache, so the timed
     # medians measure exactly that increment
     "q_dedup_semantic_from_graph",
+    # round-10: the SRP-composed near-random variant — the ratio prices
+    # the signature pass (linear corpus scan) + band-bucket join
+    # staying ceiling-bounded at 10x the corpus
+    "q_knn_graph_lsh",
 )
 
 

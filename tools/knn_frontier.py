@@ -32,7 +32,10 @@ sys.path.insert(0, ".")
 
 # (nprobe, index_nprobe, lsh_bands) — lsh_bands > 0 composes the SRP
 # band-bucket candidate arm (round-10: the near-random-regime lever);
-# bits fixed at the shipped KNN_LSH_BITS=8
+# band width corpus-adaptive in-plan since round 11 (the static-8
+# silent-disable fix; see _srp_signatures). The separate liveness
+# sweep below proves the arm stays candidate-generating at >=100k
+# reps, where static 8 bits would prune most of the signature mass.
 POINTS = [
     (1, 1, 0),
     (2, 1, 0),
@@ -162,12 +165,64 @@ def _planted_dir(spark, clustered: bool) -> str:
     return d
 
 
+def _liveness(spark, n: int) -> None:
+    """The round-10 verdict task-2 frontier row: at ``n`` reps (>=100k,
+    past the static-8-bit regime where expected bucket occupancy
+    n/2^8 >> BUCKET_CEIL), report the in-plan adaptive band width and
+    the surviving signature mass at the adaptive width vs pinned 8
+    bits — proving the SRP arm still CONTRIBUTES candidates (bucket
+    occupancy tracks ~TARGET_BUCKET < BUCKET_CEIL) instead of being
+    silently ceiling-pruned. Synthetic xxhash64 directions (near-
+    random, the arm's target regime); no recall column — the exact
+    graph at this n is quadratic and the liveness contract is about
+    candidate mass, not edge recall (measured at 20k above)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        KNN_LSH_BANDS,
+        _srp_signatures,
+    )
+
+    reps = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> CAST(xxhash64(id * 64 + j) % 1000001 AS DOUBLE))"
+        ).alias("emb"),
+    )
+    total = n * KNN_LSH_BANDS
+    for label, bits in (("adaptive", 0), ("static8", 8)):
+        t0 = time.time()
+        row = (
+            _srp_signatures(reps, KNN_LSH_BANDS, bits)
+            .agg(
+                F.count("*").alias("mass"),
+                F.max("band_sig").alias("max_sig"),
+            )
+            .collect()[0]
+        )
+        mass = int(row.mass or 0)
+        out = {
+            "fixture": f"liveness {n // 1000}k near-random",
+            "lsh_bits": label,
+            "nbits_used": (int(row.max_sig or 0)).bit_length(),
+            "surviving_mass_frac": round(mass / total, 3),
+            "sec": round(time.time() - t0, 2),
+        }
+        print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
     from sparkstreamingflume_spark.session import get_session
 
     spark = get_session("knn_frontier")
+    if "--liveness" in sys.argv:
+        _liveness(spark, 120_000)
+        return
     _measure(spark, sf_dir, f"driver ({sf_dir.rsplit('/', 1)[-1]}, 8 cells)")
     _measure(
         spark, _planted_dir(spark, False), "near-random 20k (40 cells)"
@@ -175,6 +230,7 @@ def main() -> None:
     _measure(
         spark, _planted_dir(spark, True), "clustered 20k (40 blobs/cells)"
     )
+    _liveness(spark, 120_000)
 
 
 if __name__ == "__main__":

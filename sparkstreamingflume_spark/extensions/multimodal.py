@@ -585,8 +585,13 @@ def near_dup_media(
     signature aggregate (media_id keyed), one bucket self-join whose
     key is the n_planes-bit signature, verify joins carrying dim-float
     vectors only for surviving candidates. Test-pinned
-    (tests/test_multimodal.py) rather than oracle-certified: DuckDB
-    cannot run the mapInPandas featurizer.
+    (tests/test_multimodal.py); DuckDB cannot run the mapInPandas
+    featurizer, but the pipeline IS oracle-certified end to end via
+    q_media_neardup (plans/extension_queries.py), which re-expresses
+    the featurizer as the SQL char histogram — exactly this byte
+    histogram on the ASCII driver corpus, parity pinned in
+    tests/test_multimodal.py — and runs the same SRP-bucket +
+    BUCKET_CEIL + exact-verify pair stage in both engines.
     """
     import numpy as np
 

@@ -457,3 +457,54 @@ def test_near_dup_media_finds_perturbed_copies(spark):
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 3)] >= 999_999  # exact copy: cosine 1.0
     assert all(v >= 990_000 for v in pairs.values())
+
+
+def test_media_neardup_sql_featurizer_matches_mapinpandas(spark):
+    """The q_media_neardup bridge claim (round-10 verdict task 3): on
+    the ASCII driver corpus, the certified query's SQL char-histogram
+    IS byte_histogram_features' 64-bucket byte histogram, so the
+    oracle row transitively certifies the mapInPandas featurizer's
+    math. Pin it: featurize encode(text) through the Arrow path and
+    compare against the query's histogram expression, L2-normalized,
+    per document."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        extract_content_features,
+    )
+    from sparkstreamingflume_spark.plans.extension_queries import _docs
+
+    sf = "/root/testdata/sf0.001"
+    d = _docs(spark, sf).select("doc_id", "text")
+    arrow = {
+        r.media_id: r.embedding
+        for r in extract_content_features(
+            d.select(
+                F.col("doc_id").alias("media_id"),
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+        ).collect()
+    }
+    hist_rows = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(split(text, ''), c -> ascii(c))")
+            ).alias("code"),
+        )
+        .groupBy("doc_id", F.expr("code div 4").alias("bucket"))
+        .count()
+        .collect()
+    )
+    hists: dict = {}
+    for r in hist_rows:
+        hists.setdefault(r.doc_id, [0] * 64)[r.bucket] = r["count"]
+    assert set(hists) == set(arrow) and len(hists) == 500
+    for doc_id, h in hists.items():
+        nrm = math.sqrt(sum(c * c for c in h))
+        got = arrow[doc_id]
+        assert len(got) == 64
+        for j in range(64):
+            assert abs(h[j] / nrm - got[j]) < 1e-6, (doc_id, j)

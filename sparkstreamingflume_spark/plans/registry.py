@@ -100,79 +100,79 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-10 ROTATION (the round-9 verdict's prescribed set): (1) ALL 45
-# queries whose newest driver row is round 7 — at round 10 they hit the
-# staleness frontier ("no registry row older than two rounds"), so every
-# one re-certifies this round; the set is a mechanical read-off of the
-# CORRECTNESS_r01..r09 union (verified against SURVEY §2.10's "driver rN"
-# column before rotating). (2) The round-10 plan-touched queries —
-# q_dedup_semantic_from_graph (materialize_knn_graph is now parametrized
-# by dial and the cache key is derived from the actual dial arguments, so
-# the materialized-graph lineage changed), q_knn_graph (re-anchor
-# alongside the dial work and the new 40-cell frontier row), and
-# q_knn_graph_lsh (NEW this round: the SRP-composed near-random-regime
-# variant — a newly registered query certifies in its landing round).
-# (3) The remaining 2 slots go to the widest round-8 rows (they
-# re-certify at r11 by the invariant, but pre-empting the widest ones —
-# the big-big TPC-H joins — flattens the r11 rotation). The 37 remaining
-# round-8-green queries (incl. q_dedup_block_scrub, displaced by the new
-# registration) rest on validate.py + the oracle-extras pytest gate
-# (same compare, run every session) and are first in line for round 11.
+# ROUND-11 ROTATION (the round-10 verdict's prescribed set): (1) ALL 34
+# queries whose newest driver row is round 8 — the staleness frontier
+# ("no registry row older than two rounds" breaks for them at r11); the
+# exact list is the round-10 verdict's "What's wrong #2", verified
+# against the CORRECTNESS_r01..r10 union before rotating. (2) The
+# round-11 plan-touched queries — q_knn_graph_lsh (the SRP band width
+# is now corpus-adaptive in-plan, closing the r10 `weak` mark; the
+# oracle literal changed with it) and q_media_neardup (NEW: the
+# oracle-certified media near-dup pipeline, round-10 verdict task 3; a
+# newly registered query certifies in its landing round). (3) The 14
+# spare slots pre-empt the round-9 frontier: all 12 bench headliners
+# (their driver rows should track the plans the judge prices every
+# round) plus the two heaviest remaining r9 rows (q_dedup_semantic's
+# recursive closure, q_pagerank's iterative plan). The 34 remaining
+# round-9-green queries rest on validate.py + the oracle-extras pytest
+# gate (same compare, run every session) and are the r12 frontier —
+# 34 rows, same 16-slot headroom as this round.
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- the 45 round-7-stale rows (the staleness frontier) ------------------
-    "q_approx_aggs",
-    "q_approx_count_distinct",
-    "q_cluster_sort",
-    "q_contamination",
-    "q_count_by_type",
-    "q_count_distinct",
-    "q_cube",
-    "q_data_mix",
-    "q_date_bucket",
-    "q_dedup_keep_best",
-    "q_dedup_simhash_pairs",
-    "q_dedup_simhash_wide",
-    "q_dirty_filter",
-    "q_distinct",
-    "q_embed_quantize_topk",
-    "q_except",
-    "q_fanout_dup",
-    "q_field_drop",
-    "q_field_extract",
-    "q_filter_prefix",
-    "q_histogram",
-    "q_intersect",
-    "q_json_extract",
-    "q_json_typed",
-    "q_lag_delta",
-    "q_left_join_default",
-    "q_lookup_build",
-    "q_md5_mask",
-    "q_md5_mask_multi",
-    "q_moving_window",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_profile",
-    "q_project_44to10",
-    "q_project_kv",
-    "q_rep_filter",
-    "q_sample_stratified",
-    "q_seq_pack",
-    "q_sketch_rollup",
-    "q_subqueries",
-    "q_text_normalize",
-    "q_time_rollup",
-    "q_topk",
-    "q_union",
-    "q_window_tumbling",
-    # -- round-10 plan-touched / newly registered ----------------------------
-    "q_dedup_semantic_from_graph",
-    "q_knn_graph",
+    # -- the 34 round-8-stale rows (the staleness frontier) ------------------
+    "q_anomaly_zscore",
+    "q_assoc_rules",
+    "q_bloom_filter_join",
+    "q_bm25_search",
+    "q_cluster_sort_bucketed",
+    "q_corpus_overlap",
+    "q_count_by_type_salted",
+    "q_dedup_block_scrub",
+    "q_dedup_embed_exact",
+    "q_dedup_prefix_filter",
+    "q_dedup_simhash",
+    "q_dist_drift",
+    "q_distinct_hll",
+    "q_dsir_weight",
+    "q_embed_ivf_multiprobe",
+    "q_embed_ivf_refined",
+    "q_enrich_join_salted",
+    "q_event_transitions",
+    "q_funnel",
+    "q_heavy_hitters_cms",
+    "q_inverted_index",
+    "q_kmeans_assign",
+    "q_lm_bigram",
+    "q_merge_upsert",
+    "q_multimodal_meta",
+    "q_pmi_collocations",
+    "q_quantile_hdr",
+    "q_resample_interp",
+    "q_resample_locf",
+    "q_retention",
+    "q_sample_weighted",
+    "q_scd2_history",
+    "q_session_window",
+    "q_shuffle_shards",
+    # -- round-11 plan-touched / newly registered ----------------------------
     "q_knn_graph_lsh",
-    # -- widest round-8 rows, pre-empting the r11 frontier -------------------
-    "q_tpch_q3",
-    "q_tpch_q5",
+    "q_media_neardup",
+    # -- bench headliners (fresh rows alongside the priced plans) ------------
+    "q_broadcast_join",
+    "q_corpus_prep",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_embed_topk",
+    "q_gprs_pipeline",
+    "q_group_concat",
+    "q_join_bigbig",
+    "q_sessionize",
+    "q_tpch_q1",
+    "q_window_sliding",
+    # -- heaviest remaining round-9 rows, pre-empting the r12 frontier -------
+    "q_dedup_semantic",
+    "q_pagerank",
 )
 
 

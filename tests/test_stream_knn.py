@@ -238,3 +238,95 @@ def test_attach_runs_as_real_stream(spark, tmp_path):
     after = _edges(spark, ix)
     assert before < after
     assert {q_ for q_, *_ in after - before} == set(ids[30:])
+
+
+def test_rebootstrap_preserves_edges_and_rebuilds_geometry(
+    spark, tmp_path
+):
+    """Round-10 verdict task 4: the growth-triggered geometry rebuild.
+    (a) maybe_rebootstrap fires once members reach growth_factor x the
+    last-stamped base and re-stamps, so it does NOT fire again at the
+    same size; (b) EDGE ROWS are preserved verbatim across the swap
+    (the backward-looking contract — a geometry change must not
+    rewrite history); (c) the rebuilt members are each assigned to
+    their nearest NEW centroid (numpy-checked for every member) and
+    the cell count follows max(8, ceil(n/TARGET_CELL)); (d) ingest
+    after the swap is still exact at full probe against the brute
+    oracle — the swap is invisible to the edge semantics."""
+    import math as _m
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        EMB_TARGET_CELL,
+    )
+    from sparkstreamingflume_spark.streaming.knn import (
+        CENTS_SCHEMA,
+        MEMBERS_SCHEMA,
+        bootstrap_knn_index,
+        knn_update_batch,
+        maybe_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    growth = {i: vecs[i] for i in ids[30:90]}
+    tail = {i: vecs[i] for i in ids[90:120]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+
+    # below the 2x growth bar: no rebuild
+    assert maybe_rebootstrap(spark, str(ix)) is None
+
+    knn_update_batch(_batch_df(spark, growth), 0, str(ix), nprobe=8)
+    pre_edges = _edges(spark, ix)
+    stats = maybe_rebootstrap(spark, str(ix))  # 30 -> ~90 members: fires
+    assert stats is not None and stats["members"] > 60
+    # (b) edges verbatim
+    assert _edges(spark, ix) == pre_edges
+    # (a) re-stamped base: same size does not fire again
+    assert maybe_rebootstrap(spark, str(ix)) is None
+
+    # (c) geometry: k formula + every member in its nearest new cell
+    members = {
+        r.vec_id: (r.emb, r.centroid_id)
+        for r in read_state(
+            spark, str(ix), "members", MEMBERS_SCHEMA
+        ).collect()
+    }
+    cents = {
+        r.centroid_id: r.cemb
+        for r in read_state(
+            spark, str(ix), "cents", CENTS_SCHEMA
+        ).collect()
+    }
+    assert len(cents) == max(8, _m.ceil(len(members) / EMB_TARGET_CELL))
+    assert set(cents) == set(sorted(members)[: len(cents)])
+
+    def ppm(u, v):
+        nu = _m.sqrt(sum(x * x for x in u))
+        nv = _m.sqrt(sum(x * x for x in v))
+        return _m.floor(
+            sum(a * b for a, b in zip(u, v)) * 1_000_000.0 / (nu * nv)
+        )
+
+    for vid, (emb, cid) in members.items():
+        best = min(
+            ((-ppm(emb, ce), c) for c, ce in cents.items())
+        )[1]
+        assert cid == best, (vid, cid, best)
+
+    # (d) post-swap ingest stays exact at full probe
+    knn_update_batch(_batch_df(spark, tail), 1, str(ix), nprobe=8)
+    got = _edges(spark, ix)
+    want = set(pre_edges)
+    prior = dict(boot)
+    prior.update(growth)
+    tail_ids = sorted(tail)
+    for pos, q in enumerate(tail_ids):
+        cand = dict(prior)
+        cand.update({i: tail[i] for i in tail_ids[:pos]})
+        for nbr, p, rn in _expected_topk(vecs[q], cand):
+            want.add((q, nbr, p, rn))
+    assert got == want

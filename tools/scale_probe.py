@@ -119,11 +119,22 @@ EXTRA_QUERIES = (
 )
 
 
-def run_bench(sf_dir: str) -> dict:
+def _all_registry_queries() -> tuple[str, ...]:
+    """--all: probe EVERY registered query (round-10 verdict task 5 —
+    the full-registry sweep; the last full run predates the r9-r11
+    registrations). Resolved in-process so the list can never drift
+    from the registry."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    return tuple(sorted(REGISTRY))
+
+
+def run_bench(sf_dir: str, extra: tuple[str, ...] = EXTRA_QUERIES) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_EXTRA=",".join(EXTRA_QUERIES),
+        SPARK_GRAFT_BENCH_EXTRA=",".join(extra),
         # the probe's statistic is the WITHIN-RUN sf1/sf0.1 ratio, which
         # box noise hits both sides of — median-of-3 keeps the full
         # ~50-query x2-scale run under an hour on the round-8 box
@@ -135,7 +146,10 @@ def run_bench(sf_dir: str) -> dict:
         capture_output=True,
         text=True,
         check=True,
-        timeout=3600,
+        # the full-registry --all sweep (133 queries x warmup+3 iters,
+        # heavy ANN/dedup tail at sf1) needs more than the headline
+        # set's hour
+        timeout=7200,
     ).stdout
     # bench prints exactly one JSON line (last non-empty line of stdout)
     return json.loads([ln for ln in out.splitlines() if ln.strip()][-1])
@@ -144,8 +158,11 @@ def run_bench(sf_dir: str) -> dict:
 def main() -> None:
     if not os.path.isdir(SF1_DIR):
         sys.exit(f"{SF1_DIR} missing — run: python tools/make_sf1.py")
-    small = run_bench("/root/testdata/sf0.1")
-    big = run_bench(SF1_DIR)
+    extra = (
+        _all_registry_queries() if "--all" in sys.argv else EXTRA_QUERIES
+    )
+    small = run_bench("/root/testdata/sf0.1", extra)
+    big = run_bench(SF1_DIR, extra)
     ratio = {
         name: round(big["queries"][name] / max(small["queries"][name], 1e-3), 1)
         for name in sorted(small["queries"])

@@ -791,9 +791,18 @@ def main() -> None:
         # fresh rows: deterministic pseudo-random 64-dim vectors from a
         # per-row seed; every 5th row reuses an EARLIER row's seed (the
         # replay/dup path). vec_ids offset far above the bootstrap ids.
+        # The replayed seed must itself be an ORIGINAL (round-10
+        # ADVICE: value div 50 can land on another remapped row —
+        # value a multiple of 250 — whose embedding was never emitted,
+        # silently decaying the documented 20% dup rate on long runs);
+        # bump such seeds by 1, which is never a multiple of 5.
+        base_seed = F.expr("value div 50")
+        replay_seed = F.when(
+            (base_seed % 5 == 0) & (base_seed >= 50), base_seed + 1
+        ).otherwise(base_seed)
         seed = F.when(
             (F.col("value") % 5 == 0) & (F.col("value") >= 50),
-            F.expr("value div 50"),
+            replay_seed,
         ).otherwise(F.col("value"))
         emb = F.expr(
             "transform(sequence(0, 63), j ->"
@@ -816,6 +825,14 @@ def main() -> None:
                 _g.glob(f"{ix_dir}/edges/*.parquet")
             )
 
+        # growth-triggered geometry rebuild in the maintenance loop
+        # (round-10 verdict task 4). Default factor 2.0 = "re-bootstrap
+        # when the corpus has doubled"; a soak run that should exercise
+        # the rebuild without doubling 50k vectors sets
+        # KNN_REBOOT_FACTOR (e.g. 1.02 fires after ~1k appends).
+        reboot_factor = float(os.environ.get("KNN_REBOOT_FACTOR", "2.0"))
+        rebootstraps: list[dict] = []
+
         def _knn_cb(b, bid):
             KN.knn_update_batch(b, bid, ix_dir)
             if bid > 0 and bid % compact_every == 0:
@@ -831,6 +848,18 @@ def main() -> None:
                         "rows": {k: list(v) for k, v in st.items()},
                     }
                 )
+                t0 = time.time()
+                rb = KN.maybe_rebootstrap(
+                    b.sparkSession, ix_dir, reboot_factor
+                )
+                if rb is not None:
+                    rebootstraps.append(
+                        {
+                            "batch_id": bid,
+                            "secs": round(time.time() - t0, 2),
+                            **rb,
+                        }
+                    )
 
         q = (
             vecs.writeStream.foreachBatch(_knn_cb)
@@ -1059,6 +1088,10 @@ def main() -> None:
             out["edges_rows"] = KN.read_edges(spark, ix_dir).count()
             out["index_files_final"] = _knn_files()
             out["compactions"] = compactions
+            out["rebootstraps"] = rebootstraps
+            out["cells_final"] = KN.read_state(
+                spark, ix_dir, "cents", KN.CENTS_SCHEMA
+            ).count()
             # frozen-geometry growth: per-vector candidate load rises
             # with members/cells, so report the slope, not just p50
             raw = [

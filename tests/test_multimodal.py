@@ -508,3 +508,59 @@ def test_media_neardup_sql_featurizer_matches_mapinpandas(spark):
         assert len(got) == 64
         for j in range(64):
             assert abs(h[j] / nrm - got[j]) < 1e-6, (doc_id, j)
+
+
+def test_media_neardup_hot_bucket_ceiling_engages(spark, tmp_path):
+    """The BUCKET_CEIL contract of q_media_neardup, which the driver
+    fixture never exercises (its max bucket occupancy is 45 < 128):
+    a mass-duplicated payload (200 identical copies — one signature
+    bucket per band, size 200 > BUCKET_CEIL) is PRUNED, never
+    pair-enumerated — exact copies belong to md5 dedup, the family's
+    exact-first-then-near order — while an unrelated near-dup pair in
+    a cold bucket still verifies. Same fixture shape as the text
+    family's hot-bucket pin in tests/test_dedup_skew.py."""
+    import hashlib
+    import os
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        q_media_neardup,
+    )
+
+    def words(tag: str, n: int) -> str:
+        out = []
+        i = 0
+        while len(" ".join(out)) < n:
+            out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:7])
+            i += 1
+        return " ".join(out)[:n]
+
+    rows = []
+    # 80 diverse seed docs (ids 0..79 feed the balanced-difference
+    # planes at the 4x10-bit floor)
+    for i in range(80):
+        rows.append((i, words(f"seed{i}", 400)))
+    # the hot block: 200 byte-identical payloads
+    hot = words("hot", 500)
+    for i in range(80, 280):
+        rows.append((i, hot))
+    # a cold near-dup pair: one character changed
+    base = words("cold", 550)
+    rows.append((280, base))
+    rows.append((281, "X" + base[1:]))
+    d = tmp_path / "fx"
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    pairs = {
+        (r.media_a, r.media_b): r.cos_ppm
+        for r in q_media_neardup(spark, str(d)).collect()
+    }
+    hot_ids = set(range(80, 280))
+    assert not any(
+        a in hot_ids and b in hot_ids for a, b in pairs
+    ), "hot bucket was pair-enumerated past BUCKET_CEIL"
+    assert (280, 281) in pairs and pairs[(280, 281)] >= 999_000

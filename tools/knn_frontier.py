@@ -221,7 +221,10 @@ def main() -> None:
 
     spark = get_session("knn_frontier")
     if "--liveness" in sys.argv:
+        # two scale points: 120k derives 11 bits, 240k derives 12 —
+        # the width really is monotone in n, not a one-off constant
         _liveness(spark, 120_000)
+        _liveness(spark, 240_000)
         return
     _measure(spark, sf_dir, f"driver ({sf_dir.rsplit('/', 1)[-1]}, 8 cells)")
     _measure(

@@ -96,8 +96,23 @@ def main() -> None:
     for name in names:
         run(name)
 
-    canary_sec = round(statistics.median(canary() for _ in range(3)), 3)
-    samples = {name: [run(name) for _ in range(n_iters)] for name in names}
+    # Canary samples are INTERLEAVED through the timed query loop, not
+    # taken in one consecutive burst: the round-11 driver run proved a
+    # burst canary is a single effective sample — one scheduler stall
+    # spanning the burst read 0.888 s while the same code on a quiet box
+    # read 0.37-0.55, poisoning the <20% trend rule the artifact exists
+    # to support. Spread across the whole run, a stall has to persist
+    # for the full bench to shift the median of >=5.
+    canary_samples = [canary()]
+    samples: dict[str, list[float]] = {}
+    step = max(1, len(names) // 4)
+    for i, name in enumerate(names, 1):
+        samples[name] = [run(name) for _ in range(n_iters)]
+        if i % step == 0:
+            canary_samples.append(canary())
+    while len(canary_samples) < 5:
+        canary_samples.append(canary())
+    canary_sec = round(statistics.median(canary_samples), 3)
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)

@@ -501,16 +501,17 @@ CONTENT_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def byte_histogram_features(payload: bytes, dim: int = 64):
-    """Real, dependency-free content features for an opaque payload:
-    an L2-normalized ``dim``-bucket byte-value histogram plus Shannon
-    entropy (bits/byte). Unlike the digest fake above, these have
-    LOCALITY — payloads differing in a few bytes land at cosine ~1 —
-    so they honestly support near-dup detection and clustering over
-    binary columns (format fingerprinting, corrupted-file outliers,
-    compressed-vs-raw separation via entropy). A real CLIP/ViT embedder
-    drops into the same slot with semantic locality.
-    """
+def byte_histogram_counts(payload: bytes, dim: int = 64) -> list:
+    """INTEGER ``dim``-bucket byte-value histogram of an opaque payload
+    — the shared counting core of :func:`byte_histogram_features` (which
+    normalizes it) and the cross-engine-certified binary near-dup path
+    (``q_media_neardup_binary``, plans/extension_queries.py: this exact
+    function runs inside the plan's mapInPandas stage and its output is
+    hash-compared against a DuckDB derivation of the same byte stream —
+    so the counting path is oracle-certified on genuinely binary input,
+    not just the ASCII corpus where chars coincide with bytes).
+    Integer counts, not normalized floats, because every downstream
+    sign/bucket decision must be integer-exact across engines."""
     import numpy as np
 
     if dim <= 0 or 256 % dim:
@@ -520,17 +521,45 @@ def byte_histogram_features(payload: bytes, dim: int = 64):
     # failing the whole job on one dirty row — same
     # dirty-data-must-not-crash posture as the embedding validity gate
     if payload is None:
-        return 0, 0.0, [0.0] * dim
+        return [0] * dim
     a = np.frombuffer(bytes(payload), dtype=np.uint8)
     if a.size == 0:
+        return [0] * dim
+    full = np.bincount(a, minlength=256)
+    return full.reshape(dim, 256 // dim).sum(axis=1).astype(np.int64).tolist()
+
+
+def byte_histogram_features(payload: bytes, dim: int = 64):
+    """Real, dependency-free content features for an opaque payload:
+    an L2-normalized ``dim``-bucket byte-value histogram plus Shannon
+    entropy (bits/byte). Unlike the digest fake above, these have
+    LOCALITY — payloads differing in a few bytes land at cosine ~1 —
+    so they honestly support near-dup detection and clustering over
+    binary columns (format fingerprinting, corrupted-file outliers,
+    compressed-vs-raw separation via entropy). A real CLIP/ViT embedder
+    drops into the same slot with semantic locality.
+
+    Counting goes through :func:`byte_histogram_counts` (at 256-bucket
+    granularity for exact entropy, re-bucketed to ``dim`` here), so the
+    features path and the certified binary near-dup path share one
+    counting core; normalization does not change the sign of any dot
+    product, so certifying the integer counts certifies every SRP
+    bucketing decision the normalized features would make.
+    """
+    import numpy as np
+
+    full = np.asarray(byte_histogram_counts(payload, 256), dtype=np.float64)
+    n = int(full.sum())
+    if n == 0:
         return 0, 0.0, [0.0] * dim
-    full = np.bincount(a, minlength=256).astype(np.float64)
-    p = full[full > 0] / a.size
+    if dim <= 0 or 256 % dim:
+        raise ValueError(f"dim must divide 256, got {dim}")
+    p = full[full > 0] / n
     entropy = float(-(p * np.log2(p)).sum())  # true bits/byte, 0..8
     hist = full.reshape(dim, 256 // dim).sum(axis=1)
     norm = float(np.linalg.norm(hist))
     feats = (hist / norm).astype(np.float32).tolist()
-    return int(a.size), entropy, feats
+    return n, entropy, feats
 
 
 def extract_content_features(df: DataFrame, dim: int = 64) -> DataFrame:
@@ -556,6 +585,47 @@ def extract_content_features(df: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(featurize, schema=CONTENT_FEATURES_SCHEMA)
+
+
+CONTENT_HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def content_histogram(df: DataFrame, dim: int = 64) -> DataFrame:
+    """mapInPandas INTEGER byte-histogram featurizer, long form:
+    (media_id, payload) -> (media_id, bucket, cnt) rows, zero buckets
+    omitted — the input shape of the shared SRP near-dup pair stage
+    (``_media_pair_stage``, plans/extension_queries.py). Same
+    Arrow-batched, shuffle-free, payload-dropping shape as the
+    decoders; counting goes through :func:`byte_histogram_counts`, the
+    same core :func:`byte_histogram_features` normalizes, so the
+    cross-engine certification of ``q_media_neardup_binary`` (which
+    runs THIS stage over genuinely binary payloads) covers the
+    features path's counting too."""
+
+    def hist(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            buckets: list = []
+            cnts: list = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                for k, c in enumerate(byte_histogram_counts(b, dim)):
+                    if c:
+                        ids.append(mid)
+                        buckets.append(k)
+                        cnts.append(c)
+            yield pd.DataFrame(
+                {"media_id": ids, "bucket": buckets, "cnt": cnts}
+            )
+
+    return df.mapInPandas(hist, schema=CONTENT_HISTOGRAM_SCHEMA)
 
 
 def near_dup_media(

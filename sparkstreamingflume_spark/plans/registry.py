@@ -100,63 +100,63 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-11 ROTATION (the round-10 verdict's prescribed set): (1) ALL 34
-# queries whose newest driver row is round 8 — the staleness frontier
-# ("no registry row older than two rounds" breaks for them at r11); the
-# exact list is the round-10 verdict's "What's wrong #2", verified
-# against the CORRECTNESS_r01..r10 union before rotating. (2) The
-# round-11 plan-touched queries — q_knn_graph_lsh (the SRP band width
-# is now corpus-adaptive in-plan, closing the r10 `weak` mark; the
-# oracle literal changed with it) and q_media_neardup (NEW: the
-# oracle-certified media near-dup pipeline, round-10 verdict task 3; a
-# newly registered query certifies in its landing round). (3) The 14
-# spare slots pre-empt the round-9 frontier: all 12 bench headliners
-# (their driver rows should track the plans the judge prices every
-# round) plus the two heaviest remaining r9 rows (q_dedup_semantic's
-# recursive closure, q_pagerank's iterative plan). The 34 remaining
-# round-9-green queries rest on validate.py + the oracle-extras pytest
-# gate (same compare, run every session) and are the r12 frontier —
-# 34 rows, same 16-slot headroom as this round.
+# ROUND-12 ROTATION (the round-11 verdict's prescribed set): (1) ALL 34
+# queries whose newest driver row is round 9 — the staleness frontier
+# ("no registry row older than two rounds" breaks for them at r12); the
+# exact list is the round-11 verdict's "What's wrong #1", verified
+# against the CORRECTNESS_r01..r11 union before rotating. (2) The
+# round-12 plan-touched queries — q_knn_graph_lsh (the Spark band_sig
+# fold realigned to LSB-first to match the oracle's encoding, ADVICE
+# r11 #1), q_media_neardup (the codepoint-domain invariant pinning the
+# char-histogram == byte-histogram bridge, ADVICE r11 #2), and
+# q_media_neardup_binary (NEW: the binary-payload featurizer
+# certification, round-11 verdict task 4; a newly registered query
+# certifies in its landing round). (3) The remaining spare slots carry
+# all 12 bench headliners (their driver rows should track the plans the
+# judge prices every round). The 49 remaining round-10-green queries
+# rest one round on validate.py + the oracle-extras pytest gate (same
+# compare, run every session) and are the r13 frontier.
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- the 34 round-8-stale rows (the staleness frontier) ------------------
-    "q_anomaly_zscore",
-    "q_assoc_rules",
-    "q_bloom_filter_join",
-    "q_bm25_search",
-    "q_cluster_sort_bucketed",
-    "q_corpus_overlap",
-    "q_count_by_type_salted",
-    "q_dedup_block_scrub",
-    "q_dedup_embed_exact",
-    "q_dedup_prefix_filter",
-    "q_dedup_simhash",
-    "q_dist_drift",
-    "q_distinct_hll",
-    "q_dsir_weight",
-    "q_embed_ivf_multiprobe",
-    "q_embed_ivf_refined",
-    "q_enrich_join_salted",
-    "q_event_transitions",
-    "q_funnel",
-    "q_heavy_hitters_cms",
-    "q_inverted_index",
-    "q_kmeans_assign",
-    "q_lm_bigram",
-    "q_merge_upsert",
-    "q_multimodal_meta",
-    "q_pmi_collocations",
-    "q_quantile_hdr",
-    "q_resample_interp",
-    "q_resample_locf",
-    "q_retention",
-    "q_sample_weighted",
-    "q_scd2_history",
-    "q_session_window",
-    "q_shuffle_shards",
-    # -- round-11 plan-touched / newly registered ----------------------------
+    # -- the 34 round-9-stale rows (the staleness frontier) ------------------
+    "q_anti_join",
+    "q_approx_percentile",
+    "q_asof_join",
+    "q_count",
+    "q_dedup_block",
+    "q_dedup_candidates_verified",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_embed_cosine",
+    "q_dedup_embed_cosine_bruteforce",
+    "q_dedup_embed_lsh",
+    "q_dedup_incremental",
+    "q_doc_chunk",
+    "q_doc_fingerprint",
+    "q_embed_ivf",
+    "q_embed_ivf_search",
+    "q_grouping_sets",
+    "q_lm_score",
+    "q_percentile",
+    "q_range_join",
+    "q_rank_topn_per_group",
+    "q_rollup",
+    "q_sample_per_group",
+    "q_semi_anti",
+    "q_semi_join",
+    "q_set_ops",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_topterms",
+    "q_tfidf",
+    "q_token_count",
+    "q_train_test_split",
+    "q_window_suite",
+    # -- round-12 plan-touched / newly registered ----------------------------
     "q_knn_graph_lsh",
     "q_media_neardup",
+    "q_media_neardup_binary",
     # -- bench headliners (fresh rows alongside the priced plans) ------------
     "q_broadcast_join",
     "q_corpus_prep",
@@ -170,9 +170,6 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_sessionize",
     "q_tpch_q1",
     "q_window_sliding",
-    # -- heaviest remaining round-9 rows, pre-empting the r12 frontier -------
-    "q_dedup_semantic",
-    "q_pagerank",
 )
 
 

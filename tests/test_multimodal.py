@@ -564,3 +564,143 @@ def test_media_neardup_hot_bucket_ceiling_engages(spark, tmp_path):
         a in hot_ids and b in hot_ids for a, b in pairs
     ), "hot bucket was pair-enumerated past BUCKET_CEIL"
     assert (280, 281) in pairs and pairs[(280, 281)] >= 999_000
+
+
+def test_byte_histogram_counts_is_the_features_counting_core():
+    """The binary-certification bridge (round-11 verdict task 4):
+    byte_histogram_counts — the exact function q_media_neardup_binary
+    runs inside its certified mapInPandas stage — is the counting core
+    byte_histogram_features normalizes, on genuinely binary payloads
+    (multi-byte UTF-8, full 0..255 random bytes, empty, None). So the
+    oracle row's hash compare certifies every bucketing decision the
+    normalized features would make (normalization never flips the sign
+    of a dot product)."""
+    import hashlib
+    import math
+
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        byte_histogram_counts,
+        byte_histogram_features,
+    )
+
+    payloads = [
+        "plain ascii text".encode(),
+        "Ωψ火€· multi-byte ☃ ünïcodé".encode(),
+        bytes(range(256)) * 3,
+        hashlib.md5(b"chain").digest() * 5,
+        b"",
+        None,
+    ]
+    for b in payloads:
+        c64 = byte_histogram_counts(b, 64)
+        c256 = byte_histogram_counts(b, 256)
+        # 64-bucket == re-bucketed 256-bucket (one core, two grains)
+        assert c64 == [
+            sum(c256[4 * k : 4 * k + 4]) for k in range(64)
+        ]
+        n = 0 if b is None else len(b)
+        assert sum(c64) == n
+        n_feat, _, feats = byte_histogram_features(b)
+        assert n_feat == n
+        if n == 0:
+            assert feats == [0.0] * 64
+            continue
+        nrm = math.sqrt(sum(c * c for c in c64))
+        for j in range(64):
+            assert abs(feats[j] - c64[j] / nrm) < 1e-6, j
+
+
+def test_media_neardup_non_ascii_raises_loudly(spark, tmp_path):
+    """ADVICE r11 #2: q_media_neardup's char==byte histogram bridge
+    only holds on an ASCII corpus; a codepoint >= 256 must RAISE
+    in-plan (both engines carry the invariant), never silently mint a
+    bucket > 63 while the cross-engine compare keeps passing."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from sparkstreamingflume_spark.plans.registry import REGISTRY
+
+    d = tmp_path / "fx"
+    os.makedirs(d)
+    rows = [(i, f"plain ascii doc {i} " * 20) for i in range(90)]
+    rows.append((90, "smuggled non-ascii Ω voids the bridge " * 10))
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    q = REGISTRY["q_media_neardup"]
+    with pytest.raises(Exception, match="non-ASCII codepoint"):
+        q.build(spark, str(d)).collect()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    with pytest.raises(Exception, match="non-ASCII codepoint"):
+        con.sql(q.oracle).fetchall()
+
+
+def test_media_neardup_binary_payload_is_genuinely_binary(spark):
+    """The certified binary plan's payload column really is opaque
+    bytes: multi-byte UTF-8 sequences AND md5-chain bytes outside any
+    UTF-8 text range (the full 0..255 span), with the documented
+    per-doc length law — so the green driver row certifies the
+    featurizer on binary input, not ASCII-coincident input."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.extensions.multimodal import (
+        byte_histogram_counts,
+    )
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        MEDIA_BIN_TAIL,
+        _docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = (
+        _docs(spark, sf)
+        .filter(F.length("text") > 0)
+        .select(F.col("doc_id").alias("media_id"), "text")
+        .limit(50)
+    )
+    payload = F.concat(
+        F.encode(
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    f"repeat('{MEDIA_BIN_TAIL}',"
+                    " CAST(1 + media_id % 4 AS INT))"
+                ),
+            ),
+            "UTF-8",
+        ),
+        F.expr(
+            "unhex(concat_ws('', transform("
+            "sequence(0, CAST(media_id % 3 AS INT)),"
+            " j -> md5(concat(CAST(media_id AS STRING), ':',"
+            " CAST(j AS STRING))))))"
+        ),
+    )
+    rows = d.select("media_id", "text", payload.alias("payload")).collect()
+    assert len(rows) == 50
+    import hashlib
+
+    for r in rows:
+        b = bytes(r.payload)
+        text_utf8 = (
+            r.text + MEDIA_BIN_TAIL * (1 + r.media_id % 4)
+        ).encode("utf-8")
+        nb = 1 + r.media_id % 3
+        rnd = b"".join(
+            hashlib.md5(f"{r.media_id}:{j}".encode()).digest()
+            for j in range(nb)
+        )
+        assert b == text_utf8 + rnd, r.media_id
+        # genuinely non-ASCII: the tail has bytes >= 0x80
+        assert any(x >= 128 for x in b), r.media_id
+        counts = byte_histogram_counts(b, 64)
+        assert sum(counts) == len(b)

@@ -149,6 +149,29 @@ def write_swap(
     return n
 
 
+def swap_in(spark: SparkSession, index_dir: str, name: str, staged: str) -> bool:
+    """Swap an ALREADY-MATERIALIZED directory in as the live
+    ``<index_dir>/<name>`` — the commit half of a prepared-elsewhere
+    rewrite (write_swap minus the write: rename live to ``.{name}_old``,
+    rename ``staged`` in, delete old). Pure renames, so the in-slot cost
+    is milliseconds regardless of state size — what lets a ~9 s geometry
+    build run OFF the maintenance slot (streaming/knn.py
+    prepare_rebootstrap / commit_rebootstrap). Returns False when
+    ``staged`` does not exist (already swapped by a prior attempt — the
+    idempotent-completer case), True after a swap."""
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jstaged = _jp(spark, staged)
+    if not fs.exists(jstaged):
+        return False
+    jlive = _jp(spark, f"{index_dir}/{name}")
+    jold = _jp(spark, f"{index_dir}/.{name}_old")
+    if fs.exists(jlive):
+        fs.rename(jlive, jold)
+    fs.rename(jstaged, jlive)
+    fs.delete(jold, True)
+    return True
+
+
 def read_state(
     spark: SparkSession, index_dir: str, name: str, schema: str
 ) -> DataFrame:

@@ -330,3 +330,186 @@ def test_rebootstrap_preserves_edges_and_rebuilds_geometry(
         for nbr, p, rn in _expected_topk(vecs[q], cand):
             want.add((q, nbr, p, rn))
     assert got == want
+
+
+def test_async_rebootstrap_stages_off_slot_and_commits_late_tail(
+    spark, tmp_path
+):
+    """Round-11 verdict task 3: the geometry build runs OFF the
+    maintenance slot. (a) maybe_prepare_rebootstrap fires at the
+    growth bar and builds STAGED dirs without touching live state —
+    probes between prepare and commit still serve the OLD geometry;
+    (b) vectors ingested between prepare and commit (the late tail)
+    are re-assigned to the staged geometry at commit, nothing lost;
+    (c) edges verbatim across the commit; (d) a second prepare while
+    one is staged is a no-op; (e) post-commit ingest stays exact at
+    full probe."""
+    import math as _m
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        EMB_TARGET_CELL,
+    )
+    from sparkstreamingflume_spark.streaming.knn import (
+        CENTS_SCHEMA,
+        MEMBERS_SCHEMA,
+        bootstrap_knn_index,
+        commit_rebootstrap,
+        knn_update_batch,
+        maybe_prepare_rebootstrap,
+        maybe_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    growth = {i: vecs[i] for i in ids[30:90]}
+    late = {i: vecs[i] for i in ids[90:105]}
+    tail = {i: vecs[i] for i in ids[105:120]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+
+    assert maybe_prepare_rebootstrap(spark, str(ix)) is None  # below bar
+    knn_update_batch(_batch_df(spark, growth), 0, str(ix), nprobe=8)
+
+    st = maybe_prepare_rebootstrap(spark, str(ix))
+    assert st is not None and st["n_snapshot"] == 90
+    # (a) live geometry untouched by the staged build
+    cents_live = read_state(spark, str(ix), "cents", CENTS_SCHEMA)
+    assert {int(r.geom_gen or 0) for r in cents_live.collect()} == {0}
+    # (d) nothing re-staged while one build is pending
+    assert maybe_prepare_rebootstrap(spark, str(ix)) is None
+
+    # (b) the late tail arrives BETWEEN prepare and commit
+    knn_update_batch(_batch_df(spark, late), 1, str(ix), nprobe=8)
+    pre_edges = _edges(spark, ix)
+
+    done = commit_rebootstrap(spark, str(ix))
+    assert done is not None
+    assert done["geom_gen"] == 1 and done["tail"] == len(late)
+    assert done["members"] == 105
+    # (c) edges verbatim
+    assert _edges(spark, ix) == pre_edges
+
+    members = {
+        r.vec_id: (r.emb, r.centroid_id)
+        for r in read_state(
+            spark, str(ix), "members", MEMBERS_SCHEMA
+        ).collect()
+    }
+    cents = {
+        r.centroid_id: r.cemb
+        for r in read_state(
+            spark, str(ix), "cents", CENTS_SCHEMA
+        ).collect()
+    }
+    assert len(members) == 105
+    # k derives from the SNAPSHOT (90), centroids = its first-k ids
+    assert len(cents) == max(8, _m.ceil(90 / EMB_TARGET_CELL))
+    assert set(cents) == set(
+        sorted(list(boot) + list(growth))[: len(cents)]
+    )
+
+    def ppm(u, v):
+        nu = _m.sqrt(sum(x * x for x in u))
+        nv = _m.sqrt(sum(x * x for x in v))
+        return _m.floor(
+            sum(a * b for a, b in zip(u, v)) * 1_000_000.0 / (nu * nv)
+        )
+
+    # every member (late tail included) sits in its nearest NEW cell
+    for vid, (emb, cid) in members.items():
+        best = min(((-ppm(emb, ce), c) for c, ce in cents.items()))[1]
+        assert cid == best, (vid, cid, best)
+
+    # base re-stamped: the trigger does not re-fire at the same size
+    assert maybe_rebootstrap(spark, str(ix)) is None
+
+    # (e) post-commit ingest exact at full probe
+    knn_update_batch(_batch_df(spark, tail), 2, str(ix), nprobe=16)
+    got = _edges(spark, ix)
+    want = set(pre_edges)
+    prior = dict(boot)
+    prior.update(growth)
+    prior.update(late)
+    tail_ids = sorted(tail)
+    for pos, q in enumerate(tail_ids):
+        cand = dict(prior)
+        cand.update({i: tail[i] for i in tail_ids[:pos]})
+        for nbr, p, rn in _expected_topk(vecs[q], cand):
+            want.add((q, nbr, p, rn))
+    assert got == want
+
+
+def test_crash_between_commit_swaps_is_detected_and_repaired(
+    spark, tmp_path
+):
+    """ADVICE r11 #3: a crash between the cents swap and the meta
+    stamp leaves new-geometry cents against old-geometry members;
+    knn_update_batch must detect the generation mismatch BEFORE
+    probing and finish the staged commit, so no probe ever joins
+    members against centroids from a different geometry. Simulated by
+    running exactly the first rename of the commit sequence."""
+    from sparkstreamingflume_spark.streaming.knn import (
+        CENTS_SCHEMA,
+        META_SCHEMA,
+        _gen_of,
+        bootstrap_knn_index,
+        knn_update_batch,
+        prepare_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import (
+        read_state,
+        swap_in,
+    )
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    growth = {i: vecs[i] for i in ids[30:90]}
+    tail = {i: vecs[i] for i in ids[90:110]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+    knn_update_batch(_batch_df(spark, growth), 0, str(ix), nprobe=8)
+    pre_edges = _edges(spark, ix)
+
+    assert prepare_rebootstrap(spark, str(ix)) is not None
+    # simulated crash: ONLY the cents rename lands
+    assert swap_in(spark, str(ix), "cents", f"{ix}/.cents_staged")
+    g_c = _gen_of(read_state(spark, str(ix), "cents", CENTS_SCHEMA))
+    g_m = _gen_of(read_state(spark, str(ix), "meta", META_SCHEMA))
+    assert (g_c, g_m) == (1, 0)  # the mixed window, observable
+
+    # the next batch self-heals before probing, then ingests exactly
+    knn_update_batch(_batch_df(spark, tail), 1, str(ix), nprobe=16)
+    assert _gen_of(
+        read_state(spark, str(ix), "cents", CENTS_SCHEMA)
+    ) == 1
+    assert _gen_of(
+        read_state(spark, str(ix), "meta", META_SCHEMA)
+    ) == 1
+    # staged manifest consumed by the repair
+    from sparkstreamingflume_spark.streaming.knn import (
+        GEOM_STAGED_SCHEMA,
+    )
+
+    assert (
+        read_state(
+            spark, str(ix), "geom_staged", GEOM_STAGED_SCHEMA
+        ).count()
+        == 0
+    )
+
+    got = _edges(spark, ix)
+    want = set(pre_edges)
+    prior = dict(boot)
+    prior.update(growth)
+    tail_ids = sorted(tail)
+    for pos, q in enumerate(tail_ids):
+        cand = dict(prior)
+        cand.update({i: vecs[i] for i in tail_ids[:pos]})
+        for nbr, p, rn in _expected_topk(vecs[q], cand):
+            want.add((q, nbr, p, rn))
+    assert got == want

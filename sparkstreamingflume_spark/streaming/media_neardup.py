@@ -386,7 +386,14 @@ def media_neardup_batch(
         .groupBy("media_id", "bucket")
         .agg(F.max("cnt").alias("cnt"))
     )
-    all_hists = hist.unionByName(prior_hists)
+    # _verify_pairs references its histogram frame FOUR times (two
+    # norm branches + ha + hb): unpersisted, the prior-hists subtree
+    # (a multi-million-row parquet read + semi-join + groupBy) would
+    # execute four times per batch — measured as a ~25 s batch floor
+    # INDEPENDENT of batch size. cand likewise feeds partner_ids and
+    # the verify joins.
+    cand = cand.persist()
+    all_hists = hist.unionByName(prior_hists).persist()
     pairs = _verify_pairs(cand, all_hists, min_ppm)
     write_batch_parquet_idempotent(pairs, batch_id, out_dir)
 
@@ -402,6 +409,8 @@ def media_neardup_batch(
     )
     sig.unpersist()
     hist.unpersist()
+    cand.unpersist()
+    all_hists.unpersist()
 
 
 def attach_media_neardup(

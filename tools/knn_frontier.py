@@ -214,12 +214,70 @@ def _liveness(spark, n: int) -> None:
         print(json.dumps(out), flush=True)
 
 
+def _boundary(spark) -> None:
+    """Round-11 verdict task 6: price the adaptive-bits transition.
+    The full-registry probe's 10.2× q_knn_graph_lsh ratio is the
+    documented BETWEEN-boundary bucket growth (at 20k sf1 reps the
+    clamp still floors at 8 bits; occupancy — hence bucket-pair work —
+    grows ~n² until the next bit). This measures the SRP candidate arm
+    on BOTH sides of a clamp boundary (90k reps -> 10 bits, 120k ->
+    11) plus the static-width counterfactual at the upper point:
+    candidate pairs and wall-clock FLATTEN as nbits rises (each bit
+    halves expected occupancy), where the pinned width quadruples
+    them. Near-random xxhash64 directions, the arm's target regime."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        KNN_LSH_BANDS,
+        _srp_candidates,
+    )
+
+    def reps(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63),"
+                " j -> CAST(xxhash64(id * 64 + j) % 1000001 AS DOUBLE))"
+            ).alias("emb"),
+        )
+
+    for n, bits, label in (
+        (90_000, 0, "adaptive (below boundary)"),
+        (120_000, 0, "adaptive (above boundary)"),
+        (120_000, 10, "static10 counterfactual"),
+    ):
+        t0 = time.time()
+        cand = _srp_candidates(reps(n), KNN_LSH_BANDS, bits)
+        n_pairs = cand.count()
+        print(
+            json.dumps(
+                {
+                    "fixture": f"boundary {n // 1000}k near-random",
+                    "lsh_bits": label,
+                    "nbits_used": (
+                        bits
+                        or ((max(n, 1) + 95) // 96 - 1).bit_length()
+                    ),
+                    "candidate_pairs": n_pairs,
+                    "pairs_per_rep": round(n_pairs / n, 1),
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
     from sparkstreamingflume_spark.session import get_session
 
     spark = get_session("knn_frontier")
+    if "--boundary" in sys.argv:
+        _boundary(spark)
+        return
     if "--liveness" in sys.argv:
         # two scale points: 120k derives 11 bits, 240k derives 12 —
         # the width really is monotone in n, not a one-off constant

@@ -12,6 +12,15 @@ Model (the streaming/neardup.py + streaming/knn.py shape):
   media (the exact batch-plan construction), plus the corpus-adaptive
   band width ``nbits`` (the shared clamp, floor MEDIA_BITS_MIN) — and
   persisted, so every batch signs against the same broadcast planes.
+  Like the kNN index's cells, the frozen geometry DECAYS as the
+  corpus grows (bucket occupancy rises toward BUCKET_CEIL, where
+  candidate mass is silently pruned — the measured knn_frontier
+  --boundary mechanism): :func:`maybe_prepare_media_rebootstrap` /
+  :func:`commit_media_rebootstrap` rebuild planes + signatures FROM
+  THE LIVE HISTOGRAMS (featurizer output is geometry-independent, so
+  hists and the emitted pair history never rotate) with the staged
+  off-slot / in-slot-renames split and the geom_gen crash-detection
+  marker of streaming/knn.py.
 * Each micro-batch of (media_id, payload BINARY) rows is featurized by
   the REAL Arrow-batched byte-histogram featurizer
   (extensions/multimodal.py ``content_histogram`` — the same counting
@@ -40,7 +49,9 @@ Index layout (plain parquet, the shared streaming/state.py protocols):
 
 * ``<index_dir>/planes`` — frozen (p, bucket, w) balanced-difference
   weights; broadcast into every batch.
-* ``<index_dir>/mmeta``  — one row (nbits): the frozen band width.
+* ``<index_dir>/mmeta``  — one row (nbits, base_media, geom_gen):
+  the frozen band width, the media count at the last (re)bootstrap
+  (the growth trigger's denominator), and the generation marker.
 * ``<index_dir>/sigs``   — (media_id, band, band_sig, batch_id).
 * ``<index_dir>/hists``  — (media_id, bucket, cnt, batch_id): the
   integer histograms the exact verify joins against.
@@ -71,11 +82,18 @@ from sparkstreamingflume_spark.streaming.state import (
     _hadoop_fs,
     read_state,
     recover_index,
+    swap_in,
     write_swap,
 )
 
-PLANES_SCHEMA = "p int, bucket long, w long"
-MMETA_SCHEMA = "nbits int"
+# geom_gen: the geometry GENERATION marker (the streaming/knn.py
+# pattern): stamped into planes rows and mmeta on OPPOSITE ends of a
+# geometry commit, so a crash inside one leaves them unequal —
+# media_neardup_batch detects that before signing and finishes the
+# staged commit. Indexes predating the columns read NULL -> 0.
+PLANES_SCHEMA = "p int, bucket long, w long, geom_gen long"
+MMETA_SCHEMA = "nbits int, base_media long, geom_gen long"
+MGEOM_STAGED_SCHEMA = "geom_gen long, wm long, nbits int, n_snapshot long"
 SIGS_SCHEMA = "media_id long, band int, band_sig long, batch_id long"
 HISTS_SCHEMA = "media_id long, bucket long, cnt long, batch_id long"
 
@@ -157,6 +175,102 @@ def _verify_pairs(
     )
 
 
+def _build_planes(hist: DataFrame, nbits: int) -> DataFrame:
+    """Balanced-difference seed planes from a (media_id, bucket, cnt)
+    histogram frame — the batch stage's construction (plane p =
+    n_odd*hist(seed 2p) - n_even*hist(seed 2p+1)), shared by bootstrap
+    and the geometry re-bootstrap (which rebuilds planes FROM THE LIVE
+    HISTOGRAMS — the featurizer output is geometry-independent, so
+    only planes, signatures and meta rotate).
+
+    Seeds are the corpus's 2*bands*nbits smallest media ids BY RANK,
+    not by absolute value: the batch plan's ``media_id <
+    2*bands*nbits`` gate assumes ids dense from 0 (true of the driver
+    fixtures, where rank == id and the two constructions coincide),
+    but a live index bootstrapped from a corpus whose ids start higher
+    would get ZERO planes — and a silently candidate-free index
+    (caught by the rotation test's offset-id fixture; bootstrap now
+    raises on empty planes instead of degrading quietly). The rank
+    map is a distributed top-k limit (<= 192 ids) — no global sort."""
+    bands, *_ = _constants()
+    nper = hist.groupBy("media_id").agg(F.sum("cnt").alias("n"))
+    ranked = (
+        hist.select("media_id")
+        .distinct()
+        .orderBy("media_id")
+        .limit(2 * bands * nbits)
+        .withColumn(
+            "rk_", F.row_number().over(Window.orderBy("media_id")) - 1
+        )
+    )
+    seeds = hist.join(F.broadcast(ranked), "media_id").select(
+        F.expr("rk_ div 2").alias("pair_id"),
+        (F.col("rk_") % 2).alias("side"),
+        "bucket",
+        "cnt",
+    )
+    lens = (
+        nper.join(F.broadcast(ranked), "media_id")
+        .groupBy(
+            F.expr("rk_ div 2").alias("pair_id"),
+            (F.col("rk_") % 2).alias("side"),
+        )
+        .agg(F.max("n").alias("n"))
+    )
+    le = lens.filter(F.col("side") == 0).select(
+        "pair_id", F.col("n").alias("n_e")
+    )
+    lo = lens.filter(F.col("side") == 1).select(
+        "pair_id", F.col("n").alias("n_o")
+    )
+    return (
+        seeds.join(le, "pair_id")
+        .join(lo, "pair_id")
+        .groupBy(
+            F.col("pair_id").cast("int").alias("p"), F.col("bucket")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("side") == 0, F.col("n_o") * F.col("cnt"))
+                .otherwise(-F.col("n_e") * F.col("cnt"))
+            ).alias("w")
+        )
+    )
+
+
+def _nbits_for(n: int) -> int:
+    """The shared integer bit-length clamp (no float log2 — the
+    q_knn_graph_lsh / _media_pair_stage construction)."""
+    _, bits_min, bits_max, target, _ = _constants()
+    return min(
+        bits_max,
+        max(bits_min, ((max(n, 1) + target - 1) // target - 1).bit_length()),
+    )
+
+
+def _mgen_of(df: DataFrame) -> int:
+    """Max coalesced geom_gen; -1 when empty (absent state skips the
+    consistency check rather than failing it)."""
+    row = df.agg(F.max(F.coalesce(F.col("geom_gen"), F.lit(0)))).first()
+    return -1 if row[0] is None else int(row[0])
+
+
+def _ensure_media_geometry_consistent(
+    spark: SparkSession, index_dir: str
+) -> None:
+    """planes rows and mmeta carry geom_gen stamped on opposite ends of
+    a geometry commit (planes swap first, mmeta stamp last): inequality
+    detects every partial-commit crash window, and the repair is the
+    idempotent :func:`commit_media_rebootstrap` — so no batch ever
+    signs against one generation's planes while probing another
+    generation's signatures."""
+    g_p = _mgen_of(read_state(spark, index_dir, "planes", PLANES_SCHEMA))
+    g_m = _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA))
+    if g_p < 0 or g_m < 0 or g_p == g_m:
+        return
+    commit_media_rebootstrap(spark, index_dir)
+
+
 def bootstrap_media_index(
     spark: SparkSession,
     seed: DataFrame,
@@ -176,7 +290,7 @@ def bootstrap_media_index(
         MEDIA_NEARDUP_MIN_PPM,
     )
 
-    bands, bits_min, bits_max, target, ceil_ = _constants()
+    *_, ceil_ = _constants()
     min_ppm = MEDIA_NEARDUP_MIN_PPM if min_ppm is None else min_ppm
 
     hist = (
@@ -185,53 +299,24 @@ def bootstrap_media_index(
         .persist()
     )
     n = hist.select("media_id").distinct().count()
-    # the shared integer bit-length clamp (no float log2 — the
-    # q_knn_graph_lsh / _media_pair_stage construction)
-    nbits = min(
-        bits_max, max(bits_min, ((max(n, 1) + target - 1) // target - 1).bit_length())
-    )
+    nbits = _nbits_for(n)
     write_swap(
         spark,
-        spark.createDataFrame([(nbits,)], MMETA_SCHEMA),
+        spark.createDataFrame([(nbits, n, 0)], MMETA_SCHEMA),
         index_dir,
         "mmeta",
     )
-    nper = hist.groupBy("media_id").agg(F.sum("cnt").alias("n"))
-    gate = F.col("media_id") < 2 * bands * nbits
-    seeds = hist.filter(gate).select(
-        F.expr("media_id div 2").alias("pair_id"),
-        (F.col("media_id") % 2).alias("side"),
-        "bucket",
-        "cnt",
-    )
-    lens = (
-        nper.filter(gate)
-        .groupBy(
-            F.expr("media_id div 2").alias("pair_id"),
-            (F.col("media_id") % 2).alias("side"),
-        )
-        .agg(F.max("n").alias("n"))
-    )
-    le = lens.filter(F.col("side") == 0).select(
-        "pair_id", F.col("n").alias("n_e")
-    )
-    lo = lens.filter(F.col("side") == 1).select(
-        "pair_id", F.col("n").alias("n_o")
-    )
-    planes = (
-        seeds.join(le, "pair_id")
-        .join(lo, "pair_id")
-        .groupBy(
-            F.col("pair_id").cast("int").alias("p"), F.col("bucket")
-        )
-        .agg(
-            F.sum(
-                F.when(F.col("side") == 0, F.col("n_o") * F.col("cnt"))
-                .otherwise(-F.col("n_e") * F.col("cnt"))
-            ).alias("w")
-        )
+    planes = _build_planes(hist, nbits).withColumn(
+        "geom_gen", F.lit(0).cast("long")
     )
     n_planes = write_swap(spark, planes, index_dir, "planes")
+    if n_planes == 0:
+        raise RuntimeError(
+            "bootstrap_media_index built ZERO planes — the seed corpus"
+            " needs at least 2 media with non-empty payloads; a"
+            " plane-free index would sign every batch into one bucket"
+            " and silently never emit a pair"
+        )
     planes_df = read_state(spark, index_dir, "planes", PLANES_SCHEMA)
 
     sig = _sign(hist, planes_df, nbits)
@@ -312,6 +397,10 @@ def media_neardup_batch(
     *_, ceil_ = _constants()
     min_ppm = MEDIA_NEARDUP_MIN_PPM if min_ppm is None else min_ppm
     spark = batch.sparkSession
+    # a crashed geometry commit must be finished BEFORE signing —
+    # otherwise this batch signs against one generation's planes while
+    # probing another generation's signature index
+    _ensure_media_geometry_consistent(spark, index_dir)
     meta = read_state(spark, index_dir, "mmeta", MMETA_SCHEMA).collect()
     if not meta:
         raise RuntimeError(
@@ -474,3 +563,227 @@ def compact_media_index(spark: SparkSession, index_dir: str) -> dict:
             write_swap(spark, compacted, index_dir, name),
         )
     return stats
+
+
+def prepare_media_rebootstrap(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """Phase 1 of the media geometry rebuild — the streaming/knn.py
+    staged pattern: the frozen bootstrap geometry decays as the corpus
+    grows (cells fatten; here, (band, band_sig) bucket occupancy grows
+    toward BUCKET_CEIL, where candidate mass starts getting silently
+    pruned — the measured knn_frontier --boundary mechanism), so when
+    the corpus has outgrown its band width the planes + signatures are
+    rebuilt FROM THE LIVE HISTOGRAMS (the featurizer output is
+    geometry-independent — hists never rotate). Builds into staged
+    dirs, touching no live state; safe concurrent with ingest.
+
+    Steps: snapshot the collapsed live hists at ``.mgeom_snap`` (one
+    action — stable file set for every derived plan); nbits from the
+    live media count (the shared clamp); planes from the snapshot's
+    first 2·bands·nbits ids (:func:`_build_planes`); every snapshot
+    media re-signed, keeping its ORIGINAL min batch_id so the
+    ``batch_id < B`` probe filter is untouched. The manifest
+    (``mgeom_staged``) is written LAST. Returns stats, or None on an
+    empty index."""
+    for name in ("planes", "mmeta", "sigs", "hists"):
+        recover_index(spark, index_dir, name)
+    gen_next = (
+        max(0, _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA)))
+        + 1
+    )
+    hists = read_state(spark, index_dir, "hists", HISTS_SCHEMA)
+    collapsed = hists.groupBy("media_id", "bucket").agg(
+        F.first("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
+    )
+    snap = f"{index_dir}/.mgeom_snap"
+    collapsed.write.mode("overwrite").parquet(snap)
+    snap_df = spark.read.schema(HISTS_SCHEMA).parquet(snap)
+    agg = snap_df.agg(
+        F.countDistinct("media_id").alias("n"),
+        F.coalesce(F.max("batch_id"), F.lit(-1)).alias("wm"),
+    ).first()
+    n = int(agg["n"])
+    if n == 0:
+        return None
+    wm = int(agg["wm"])
+    nbits = _nbits_for(n)
+    planes_new = _build_planes(
+        snap_df.select("media_id", "bucket", "cnt"), nbits
+    ).withColumn("geom_gen", F.lit(gen_next).cast("long"))
+    planes_staged = f"{index_dir}/.planes_staged"
+    planes_new.repartition(1).write.mode("overwrite").parquet(planes_staged)
+    staged_p = spark.read.schema(PLANES_SCHEMA).parquet(planes_staged)
+    bid = snap_df.groupBy("media_id").agg(
+        F.min("batch_id").alias("batch_id")
+    )
+    sigs_new = _sign(
+        snap_df.select("media_id", "bucket", "cnt"), staged_p, nbits
+    ).join(bid, "media_id")
+    sigs_new.write.mode("overwrite").parquet(f"{index_dir}/.sigs_staged")
+    write_swap(
+        spark,
+        spark.createDataFrame([(gen_next, wm, nbits, n)], MGEOM_STAGED_SCHEMA),
+        index_dir,
+        "mgeom_staged",
+    )
+    fs, _ = _hadoop_fs(spark, index_dir)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(snap), True)
+    return {"geom_gen": gen_next, "nbits": nbits, "n_snapshot": n, "wm": wm}
+
+
+def commit_media_rebootstrap(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """Phase 2 — the maintenance-slot half and the idempotent crash
+    completer: re-sign the LATE TAIL (media whose hists appended since
+    the snapshot — ``batch_id >= wm``, anti-joined against the staged
+    ids so re-runs append nothing twice) against the staged planes,
+    then swap planes, swap sigs, stamp mmeta (gen LAST — the
+    consistency check's other end), drop the manifest. Live sigs are
+    REPLACED wholesale (every indexed media was re-signed into the
+    staged set); hists and the emitted pair history are untouched.
+    Single-writer, like compaction."""
+    for name in ("planes", "mmeta", "sigs", "hists"):
+        recover_index(spark, index_dir, name)
+    man = read_state(
+        spark, index_dir, "mgeom_staged", MGEOM_STAGED_SCHEMA
+    ).collect()
+    if not man:
+        return None
+    gen, wm, nbits = (
+        int(man[0].geom_gen),
+        int(man[0].wm),
+        int(man[0].nbits),
+    )
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    planes_staged = f"{index_dir}/.planes_staged"
+    sigs_staged = f"{index_dir}/.sigs_staged"
+    n_tail = 0
+    if fs.exists(jp(planes_staged)):
+        staged_p = spark.read.schema(PLANES_SCHEMA).parquet(planes_staged)
+        staged_ids = (
+            spark.read.schema(SIGS_SCHEMA)
+            .parquet(sigs_staged)
+            .select("media_id")
+            .distinct()
+        )
+        live = read_state(spark, index_dir, "hists", HISTS_SCHEMA)
+        tail_hists = (
+            live.filter(F.col("batch_id") >= F.lit(wm))
+            .join(staged_ids, "media_id", "left_anti")
+            .groupBy("media_id", "bucket")
+            .agg(
+                F.first("cnt").alias("cnt"),
+                F.min("batch_id").alias("batch_id"),
+            )
+            .persist()
+        )
+        tail_bid = tail_hists.groupBy("media_id").agg(
+            F.min("batch_id").alias("batch_id")
+        )
+        tail_sigs = _sign(
+            tail_hists.select("media_id", "bucket", "cnt"), staged_p, nbits
+        ).join(tail_bid, "media_id").persist()
+        n_tail = tail_sigs.select("media_id").distinct().count()
+        if n_tail:
+            tail_sigs.write.mode("append").parquet(sigs_staged)
+        tail_sigs.unpersist()
+        tail_hists.unpersist()
+        # planes first, then sigs, then mmeta: the check at
+        # _ensure_media_geometry_consistent detects a crash anywhere
+        # between the first rename and the mmeta stamp
+        swap_in(spark, index_dir, "planes", planes_staged)
+    swap_in(spark, index_dir, "sigs", sigs_staged)
+    n_media = (
+        read_state(spark, index_dir, "sigs", SIGS_SCHEMA)
+        .select("media_id")
+        .distinct()
+        .count()
+    )
+    write_swap(
+        spark,
+        spark.createDataFrame([(nbits, n_media, gen)], MMETA_SCHEMA),
+        index_dir,
+        "mmeta",
+    )
+    fs.delete(jp(f"{index_dir}/mgeom_staged"), True)
+    fs.delete(jp(f"{index_dir}/.mgeom_snap"), True)
+    return {
+        "media": n_media,
+        "nbits": nbits,
+        "geom_gen": gen,
+        "tail": n_tail,
+    }
+
+
+def rebootstrap_media_index(spark: SparkSession, index_dir: str) -> dict:
+    """Synchronous rebuild — prepare + commit back to back (offline
+    maintenance / tests; a live stream prepares off the slot and
+    commits in it, the streaming/knn.py discipline)."""
+    if prepare_media_rebootstrap(spark, index_dir) is None:
+        return {"media": 0}
+    done = commit_media_rebootstrap(spark, index_dir)
+    return {"media": done["media"], "nbits": done["nbits"]}
+
+
+def _media_growth_due(
+    spark: SparkSession, index_dir: str, growth_factor: float
+) -> bool:
+    """Trigger: live distinct media >= factor × the base stamped at the
+    last (re)bootstrap. An index predating the base_media column gets
+    one stamped at the CURRENT size (growth measured from now on) and
+    reports not-due; recovery runs before the stamp write."""
+    recover_index(spark, index_dir, "mmeta")
+    meta = read_state(spark, index_dir, "mmeta", MMETA_SCHEMA).collect()
+    if not meta:
+        return False  # unbootstrapped — nothing to rebuild from
+    n = (
+        read_state(spark, index_dir, "sigs", SIGS_SCHEMA)
+        .select("media_id")
+        .distinct()
+        .count()
+    )
+    base = meta[0].base_media
+    if base is None:
+        gen = max(
+            0,
+            _mgen_of(read_state(spark, index_dir, "planes", PLANES_SCHEMA)),
+        )
+        write_swap(
+            spark,
+            spark.createDataFrame(
+                [(int(meta[0].nbits), n, gen)], MMETA_SCHEMA
+            ),
+            index_dir,
+            "mmeta",
+        )
+        return False
+    return int(base) > 0 and n >= growth_factor * int(base)
+
+
+def maybe_media_rebootstrap(
+    spark: SparkSession, index_dir: str, growth_factor: float = 2.0
+) -> dict | None:
+    """Growth-triggered SYNCHRONOUS geometry rebuild ("re-bootstrap
+    when the corpus has doubled")."""
+    if not _media_growth_due(spark, index_dir, growth_factor):
+        return None
+    return rebootstrap_media_index(spark, index_dir)
+
+
+def maybe_prepare_media_rebootstrap(
+    spark: SparkSession, index_dir: str, growth_factor: float = 2.0
+) -> dict | None:
+    """The ASYNC trigger: prepare the staged geometry when growth is
+    due and nothing is already staged (run on a background thread;
+    commit in the next maintenance slot)."""
+    staged = read_state(
+        spark, index_dir, "mgeom_staged", MGEOM_STAGED_SCHEMA
+    ).collect()
+    if staged:
+        return None
+    if not _media_growth_due(spark, index_dir, growth_factor):
+        return None
+    return prepare_media_rebootstrap(spark, index_dir)

@@ -204,3 +204,156 @@ def test_unbootstrapped_index_raises(spark, tmp_path):
         media_neardup_batch(
             _media(spark, hi=50), 0, str(tmp_path / "nope"), str(tmp_path / "o")
         )
+
+
+def test_media_rebootstrap_rotates_geometry_to_the_batch_plan(
+    spark, tmp_path
+):
+    """The media twin's frozen-geometry maintenance (the kNN index's
+    r10→r12 arc, preempted): bootstrap on media ids 100..349 freezes
+    planes from ids 100..179; streaming ids 0..99 makes the LIVE
+    corpus's first ids differ from the frozen seeds; the
+    growth-triggered re-bootstrap rebuilds planes + signatures FROM
+    THE LIVE HISTOGRAMS (ids 0..79 — exactly the batch plan's seeds on
+    this corpus), keeping each media's original batch_id and touching
+    neither hists nor emitted pairs. Post-rotation ingest must then
+    emit EXACTLY the certified batch query's pairs for the new
+    arrivals — the stream's geometry has converged to the batch
+    plan's. Pre-rotation pairs (found under the old geometry) are
+    history and are NOT rewritten."""
+    from pyspark.sql import functions as FF
+
+    from sparkstreamingflume_spark.streaming.media_neardup import (
+        MMETA_SCHEMA,
+        PLANES_SCHEMA,
+        SIGS_SCHEMA,
+        _mgen_of,
+        bootstrap_media_index,
+        maybe_media_rebootstrap,
+        maybe_prepare_media_rebootstrap,
+        commit_media_rebootstrap,
+        media_neardup_batch,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    sub = _subset_fixture(spark, tmp_path)  # ids 0..399, ceiling-clean
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    st = bootstrap_media_index(
+        spark, _media(spark, sub, lo=100, hi=350), str(ix), out_dir=str(out)
+    )
+    assert st["media"] == 250
+    # below the growth bar at factor 2.0
+    assert maybe_prepare_media_rebootstrap(spark, str(ix)) is None
+
+    media_neardup_batch(_media(spark, sub, hi=100), 0, str(ix), str(out))
+
+    # 350 >= 1.2 * 250: prepare stages, commit rotates
+    prep = maybe_prepare_media_rebootstrap(spark, str(ix), 1.2)
+    assert prep is not None and prep["geom_gen"] == 1
+    # staged build touched no live state
+    assert _mgen_of(
+        read_state(spark, str(ix), "planes", PLANES_SCHEMA)
+    ) == 0
+    assert maybe_prepare_media_rebootstrap(spark, str(ix), 1.2) is None
+    done = commit_media_rebootstrap(spark, str(ix))
+    assert done is not None and done["media"] == 350
+    assert _mgen_of(
+        read_state(spark, str(ix), "planes", PLANES_SCHEMA)
+    ) == 1
+    assert _mgen_of(
+        read_state(spark, str(ix), "mmeta", MMETA_SCHEMA)
+    ) == 1
+    # every media re-signed, original batch_id provenance preserved
+    sigs = read_state(spark, str(ix), "sigs", SIGS_SCHEMA)
+    assert sigs.select("media_id").distinct().count() == 350
+    assert (
+        sigs.filter(FF.col("media_id") < 100)
+        .filter(FF.col("batch_id") != 0)
+        .count()
+        == 0
+    )
+    before = set(_got_pairs(spark, out))
+
+    # the trigger re-stamped: no re-fire at the same size
+    assert maybe_media_rebootstrap(spark, str(ix), 1.2) is None
+
+    media_neardup_batch(_media(spark, sub, lo=350), 1, str(ix), str(out))
+    got = _got_pairs(spark, out)
+    new_pairs = {k: v for k, v in got.items() if k not in before}
+    want_new = {
+        k: v
+        for k, v in _expected_pairs(spark, sub).items()
+        if k[1] >= 350
+    }
+    assert new_pairs == want_new
+    assert want_new, "fixture must add pairs in the post-rotation batch"
+
+
+def test_media_rebootstrap_crash_between_swaps_self_heals(
+    spark, tmp_path
+):
+    """A crash between the planes rename and the mmeta stamp leaves
+    new-generation planes against old-generation meta/sigs; the next
+    batch detects the generation mismatch BEFORE signing, finishes the
+    staged commit, and then emits exactly what the clean path would
+    have."""
+    from sparkstreamingflume_spark.streaming.media_neardup import (
+        MMETA_SCHEMA,
+        PLANES_SCHEMA,
+        MGEOM_STAGED_SCHEMA,
+        _mgen_of,
+        bootstrap_media_index,
+        commit_media_rebootstrap,
+        media_neardup_batch,
+        prepare_media_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import (
+        read_state,
+        swap_in,
+    )
+
+    sub = _subset_fixture(spark, tmp_path)
+
+    def run(ix, out, crash):
+        bootstrap_media_index(
+            spark,
+            _media(spark, sub, lo=100, hi=350),
+            str(ix),
+            out_dir=str(out),
+        )
+        media_neardup_batch(_media(spark, sub, hi=100), 0, str(ix), str(out))
+        assert prepare_media_rebootstrap(spark, str(ix)) is not None
+        if crash:
+            # simulated crash: ONLY the planes rename lands
+            assert swap_in(
+                spark, str(ix), "planes", f"{ix}/.planes_staged"
+            )
+            assert (
+                _mgen_of(
+                    read_state(spark, str(ix), "planes", PLANES_SCHEMA)
+                ),
+                _mgen_of(
+                    read_state(spark, str(ix), "mmeta", MMETA_SCHEMA)
+                ),
+            ) == (1, 0)
+        else:
+            commit_media_rebootstrap(spark, str(ix))
+        media_neardup_batch(_media(spark, sub, lo=350), 1, str(ix), str(out))
+        return _got_pairs(spark, out)
+
+    crashed = run(tmp_path / "ix1", tmp_path / "out1", crash=True)
+    clean = run(tmp_path / "ix2", tmp_path / "out2", crash=False)
+    assert crashed == clean
+    ix1 = tmp_path / "ix1"
+    assert _mgen_of(
+        read_state(spark, str(ix1), "planes", PLANES_SCHEMA)
+    ) == 1
+    assert _mgen_of(
+        read_state(spark, str(ix1), "mmeta", MMETA_SCHEMA)
+    ) == 1
+    assert (
+        read_state(
+            spark, str(ix1), "mgeom_staged", MGEOM_STAGED_SCHEMA
+        ).count()
+        == 0
+    )

@@ -128,7 +128,7 @@ def main() -> None:
     from sparkstreamingflume_spark.session import get_session
     from sparkstreamingflume_spark.streaming import pipeline, sources
 
-    if mode == "knn":
+    if mode in ("knn", "media"):
         # FAIR scheduler with a low-weight background pool: the
         # off-slot geometry build (prepare_rebootstrap on a background
         # thread) must not starve ingest batches of cores — under the
@@ -1062,7 +1062,51 @@ def main() -> None:
         compactions: list[dict] = []
         compact_every = int(os.environ.get("COMPACT_EVERY", "6"))
 
+        # growth-triggered geometry rotation, split off the hot path
+        # like the knn mode: prepare on a weight-1 FAIR-pool background
+        # thread, commit (tail re-sign + renames) in the maintenance
+        # slot. MEDIA_REBOOT_FACTOR compresses the "corpus doubled"
+        # trigger for short runs.
+        import threading
+
+        media_reboot_factor = float(
+            os.environ.get("MEDIA_REBOOT_FACTOR", "2.0")
+        )
+        rebootstraps: list[dict] = []
+        prepares: list[dict] = []
+        prep_errors: list[str] = []
+        prep_thread: list = [None]
+
+        def _kick_media_prepare(sess, bid):
+            def _prep():
+                sess.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "background"
+                )
+                t0 = time.time()
+                try:
+                    st = MN.maybe_prepare_media_rebootstrap(
+                        sess, ix_dir, media_reboot_factor
+                    )
+                except Exception as e:  # e.g. racing a compaction swap
+                    prep_errors.append(f"batch {bid}: {e!r}"[:300])
+                    return
+                if st is not None:
+                    prepares.append(
+                        {
+                            "batch_id": bid,
+                            "secs": round(time.time() - t0, 2),
+                            **st,
+                        }
+                    )
+
+            t = threading.Thread(target=_prep, daemon=True)
+            prep_thread[0] = t
+            t.start()
+
         def _media_cb(b, bid):
+            b.sparkSession.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "ingest"
+            )
             MN.media_neardup_batch(
                 b, bid, ix_dir, out_dir, min_ppm=media_ppm
             )
@@ -1076,6 +1120,19 @@ def main() -> None:
                         "rows": {k: list(v) for k, v in st.items()},
                     }
                 )
+                t0 = time.time()
+                rb = MN.commit_media_rebootstrap(b.sparkSession, ix_dir)
+                if rb is not None:
+                    rebootstraps.append(
+                        {
+                            "batch_id": bid,
+                            "secs": round(time.time() - t0, 2),
+                            **rb,
+                        }
+                    )
+            th = prep_thread[0]
+            if th is None or not th.is_alive():
+                _kick_media_prepare(b.sparkSession, bid)
 
         q = (
             media.writeStream.foreachBatch(_media_cb)
@@ -1340,6 +1397,15 @@ def main() -> None:
                 spark, ix_dir, "hists", MN.HISTS_SCHEMA
             ).count()
             out["compactions"] = compactions
+            out["rebootstraps"] = rebootstraps
+            out["prepares"] = prepares
+            if prep_errors:
+                out["prep_errors"] = prep_errors
+            out["nbits_final"] = int(
+                MN.read_state(spark, ix_dir, "mmeta", MN.MMETA_SCHEMA)
+                .collect()[0]
+                .nbits
+            )
             out["batch_secs"] = [
                 round(p["durationMs"]["triggerExecution"] / 1000.0, 2)
                 for p in steady

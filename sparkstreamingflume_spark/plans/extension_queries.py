@@ -4705,15 +4705,17 @@ KNN_K = 5  # neighbors kept per vector
 KNN_NPROBE = 5
 
 
-@query(
-    "q_knn_graph",
-    f"""
-    WITH e AS ({_EMB_SQL}),
+# The knn-graph oracle CTE chain ending in graph(q_id, nbr_id,
+# cos_ppm, rn) — q_knn_graph SELECTs it directly;
+# q_label_propagation builds its propagation rounds on top of the
+# SAME chain, so the two oracles cannot drift.
+_KNN_GRAPH_ORACLE_CTES = f"""e AS ({_EMB_SQL}),
     {_ADAPTIVE_CELLS_CTES},
     probes AS (
         SELECT vec_id, emb, norm, centroid_id FROM assign
         WHERE rn <= {KNN_NPROBE}
-    )
+    ),
+    graph AS (
     SELECT q_id, nbr_id, cos_ppm, CAST(rn AS BIGINT) AS rn FROM (
         SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
                CAST({_COS_PPM} AS BIGINT) AS cos_ppm,
@@ -4722,7 +4724,14 @@ KNN_NPROBE = 5
                    ORDER BY CAST({_COS_PPM} AS BIGINT) DESC, b.vec_id) AS rn
         FROM probes a JOIN cells b
           ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
-    ) t WHERE rn <= {KNN_K}
+    ) t WHERE rn <= {KNN_K})"""
+
+
+@query(
+    "q_knn_graph",
+    f"""
+    WITH {_KNN_GRAPH_ORACLE_CTES}
+    SELECT q_id, nbr_id, cos_ppm, rn FROM graph
     """,
     doc="k-NN graph over the embedding corpus: EVERY vector gets its "
     "top-{K} cosine neighbors — the primitive under SemDeDup-style "
@@ -5366,6 +5375,157 @@ def q_dedup_semantic_from_graph(
     path = materialize_knn_graph(spark, sf_dir)
     knn = spark.read.schema(KNN_GRAPH_SCHEMA).parquet(path)
     return _semantic_clusters(knn)
+
+
+# Label propagation over the kNN graph — the third promised graph
+# consumer (q_knn_graph's doc names "semantic dedup, diversity
+# selection, and label propagation"; until round 12 only the first
+# was implemented). Two UNROLLED majority-vote rounds, so the DuckDB
+# oracle is the same finite CTE chain — no recursion, no fixpoint
+# nondeterminism; ties break on the smallest label, counts are
+# integers, so the two engines cannot diverge.
+LABEL_PROP_ORACLE = f"""
+    WITH {{_KNN_GRAPH_ORACLE_CTES}},
+    und AS (SELECT q_id AS v, nbr_id AS u FROM graph
+            UNION SELECT nbr_id, q_id FROM graph),
+    verts AS (SELECT DISTINCT v FROM und),
+    l0 AS (SELECT verts.v,
+                  CASE WHEN verts.v % 5 = 0 THEN lbl.label END AS label
+           FROM verts LEFT JOIN
+                (SELECT vec_id, label FROM embeddings) lbl
+             ON lbl.vec_id = verts.v),
+    v1 AS (SELECT u.v, n.label, count(*) AS c
+           FROM und u
+           JOIN l0 n ON n.v = u.u AND n.label IS NOT NULL
+           JOIN l0 me ON me.v = u.v AND me.label IS NULL
+           GROUP BY u.v, n.label),
+    p1 AS (SELECT v, label FROM (
+              SELECT v, label,
+                     row_number() OVER (PARTITION BY v
+                         ORDER BY c DESC, label) AS rn_ FROM v1)
+           WHERE rn_ = 1),
+    l1 AS (SELECT l0.v, coalesce(l0.label, p1.label) AS label,
+                  CASE WHEN l0.label IS NOT NULL THEN 0
+                       WHEN p1.label IS NOT NULL THEN 1 END AS hops
+           FROM l0 LEFT JOIN p1 ON p1.v = l0.v),
+    v2 AS (SELECT u.v, n.label, count(*) AS c
+           FROM und u
+           JOIN l1 n ON n.v = u.u AND n.label IS NOT NULL
+           JOIN l1 me ON me.v = u.v AND me.label IS NULL
+           GROUP BY u.v, n.label),
+    p2 AS (SELECT v, label FROM (
+              SELECT v, label,
+                     row_number() OVER (PARTITION BY v
+                         ORDER BY c DESC, label) AS rn_ FROM v2)
+           WHERE rn_ = 1)
+    SELECT l1.v AS vec_id,
+           coalesce(l1.label, p2.label) AS label_out,
+           CAST(CASE WHEN l1.hops IS NOT NULL THEN l1.hops
+                     WHEN p2.label IS NOT NULL THEN 2
+                END AS BIGINT) AS hops
+    FROM l1 LEFT JOIN p2 ON p2.v = l1.v
+    """.format(_KNN_GRAPH_ORACLE_CTES=_KNN_GRAPH_ORACLE_CTES)
+
+
+def _label_prop_round(
+    und: DataFrame, l_prev: DataFrame, hopno: int
+) -> DataFrame:
+    """One unrolled majority-vote round: every still-unlabeled vertex
+    takes the most frequent label among its labeled neighbors
+    (smallest label on ties); labeled vertices are immutable."""
+    nbr = l_prev.filter(F.col("label").isNotNull()).select(
+        F.col("v").alias("u"), F.col("label").alias("nlabel")
+    )
+    unl = l_prev.filter(F.col("label").isNull()).select("v")
+    votes = (
+        und.join(unl, "v", "leftsemi")
+        .join(nbr, "u")
+        .groupBy("v", "nlabel")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nlabel"))
+    picked = (
+        votes.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select("v", F.col("nlabel").alias("plabel"))
+    )
+    return (
+        l_prev.join(picked, "v", "left")
+        .select(
+            "v",
+            F.coalesce("label", "plabel").alias("label"),
+            F.when(F.col("hops").isNotNull(), F.col("hops"))
+            .when(F.col("plabel").isNotNull(), F.lit(hopno))
+            .alias("hops"),
+        )
+    )
+
+
+@query(
+    "q_label_propagation",
+    LABEL_PROP_ORACLE,
+    doc="Label propagation over the kNN graph — the third graph "
+    "consumer q_knn_graph's doc promises (after SemDeDup and ahead of "
+    "diversity selection): seed labels (every 5th vector keeps its "
+    "embeddings.label; the rest start unlabeled — the "
+    "sparse-gold-labels regime of semi-supervised corpus tagging) "
+    "spread over the UNDIRECTED kNN edges in two unrolled "
+    "majority-vote rounds, most-frequent neighbor label per round, "
+    "smallest label on ties, labeled vertices immutable. Output: "
+    "(vec_id, label_out, hops) per graph vertex — hops 0=seed, 1/2 = "
+    "the round that labeled it, NULL = unreached (no labeled "
+    "neighbor within 2 hops; never silently defaulted). Unrolling "
+    "keeps the oracle a finite CTE chain (no recursive fixpoint "
+    "nondeterminism) and the vote integer-exact cross-engine; a "
+    "production run extends the rounds or feeds "
+    "materialize_knn_graph's cached edges exactly like "
+    "q_dedup_semantic_from_graph. 100 TB shape: edges are the "
+    "graph's bounded n*K rows; each round is one semi-join + one "
+    "hash-aggregation + one bounded window on (vertex, label) — "
+    "O(rounds * E) total, no cartesian, no collect. Extra: certified "
+    "by the pytest oracle gate.",
+    tags=("similarity", "iterative", "pipeline"),
+    extra=True,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingflume_spark.session import load_table
+
+    edges = knn_graph(spark, sf_dir).select("q_id", "nbr_id")
+    und = (
+        edges.select(F.col("q_id").alias("v"), F.col("nbr_id").alias("u"))
+        .unionByName(
+            edges.select(
+                F.col("nbr_id").alias("v"), F.col("q_id").alias("u")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v"), "label"
+    )
+    l0 = (
+        und.select("v")
+        .distinct()
+        .join(labels, "v", "left")
+        .select(
+            "v",
+            F.when(F.col("v") % 5 == 0, F.col("label")).alias("label"),
+        )
+        .withColumn(
+            "hops",
+            F.when(F.col("label").isNotNull(), F.lit(0)),
+        )
+        .persist()  # each round reads its predecessor three times
+    )
+    l1 = _label_prop_round(und, l0, 1).persist()
+    l2 = _label_prop_round(und, l1, 2)
+    out = l2.select(
+        F.col("v").alias("vec_id"),
+        F.col("label").alias("label_out"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

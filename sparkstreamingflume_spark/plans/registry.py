@@ -111,11 +111,13 @@ def primary_queries() -> dict[str, Query]:
 # char-histogram == byte-histogram bridge, ADVICE r11 #2), and
 # q_media_neardup_binary (NEW: the binary-payload featurizer
 # certification, round-11 verdict task 4; a newly registered query
-# certifies in its landing round). (3) The remaining spare slots carry
-# all 12 bench headliners (their driver rows should track the plans the
-# judge prices every round). The 49 remaining round-10-green queries
-# rest one round on validate.py + the oracle-extras pytest gate (same
-# compare, run every session) and are the r13 frontier.
+# certifies in its landing round), and q_label_propagation (NEW: the
+# third promised kNN-graph consumer, landing-round certification).
+# (3) The remaining spare slots carry all 12 bench headliners (their
+# driver rows should track the plans the judge prices every round).
+# The 49 remaining round-10-green queries rest one round on
+# validate.py + the oracle-extras pytest gate (same compare, run every
+# session) and are the r13 frontier.
 
 CERT_WINDOW: tuple[str, ...] = (
     # -- the 34 round-9-stale rows (the staleness frontier) ------------------
@@ -155,6 +157,7 @@ CERT_WINDOW: tuple[str, ...] = (
     "q_window_suite",
     # -- round-12 plan-touched / newly registered ----------------------------
     "q_knn_graph_lsh",
+    "q_label_propagation",
     "q_media_neardup",
     "q_media_neardup_binary",
     # -- bench headliners (fresh rows alongside the priced plans) ------------

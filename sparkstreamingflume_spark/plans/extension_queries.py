@@ -5529,6 +5529,210 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Diversity-aware subset selection over the kNN graph — the LAST promised
+# graph consumer (q_knn_graph's doc names "semantic dedup, diversity
+# selection, and label propagation"; rounds 11/12 landed the other two).
+# Per-IVF-cell farthest-point selection with a fixed budget, unrolled so
+# the DuckDB oracle stays a finite CTE chain on the SAME certified
+# _KNN_GRAPH_ORACLE_CTES edge list (no recursion, no fixpoint).
+# ---------------------------------------------------------------------------
+
+DIV_BUDGET = 4  # representatives kept per cell (pick_rank 1..DIV_BUDGET)
+# Beyond-horizon sentinel for farthest-point ranking: a member with NO
+# graph edge into the selected set is farther than any scored pair
+# (cos_ppm's floor is -1_000_000), so it wins the argmin before any
+# known edge — honest kNN-horizon semantics, and the emitted sim_ppm
+# stays NULL (never the sentinel) so "unknown" is distinguishable from
+# a real cosine.
+_DIV_FAR = -1_000_001
+
+
+def _div_oracle() -> str:
+    """The unrolled farthest-point CTE chain (DuckDB). Generated by a
+    loop so DIV_BUDGET stays the single knob, but the OUTPUT is a plain
+    finite SQL string — same certification shape as LABEL_PROP_ORACLE."""
+    parts = [
+        f"WITH {_KNN_GRAPH_ORACLE_CTES},",
+        "mem AS (SELECT vec_id, centroid_id AS cell_id FROM assign"
+        " WHERE rn = 1),",
+        "und AS (SELECT q_id AS v, nbr_id AS u, cos_ppm FROM graph"
+        " UNION ALL SELECT nbr_id, q_id, cos_ppm FROM graph),",
+        "den AS (SELECT m.vec_id, m.cell_id,"
+        " coalesce(sum(g.cos_ppm), 0) AS den"
+        " FROM mem m LEFT JOIN graph g ON g.q_id = m.vec_id"
+        " GROUP BY m.vec_id, m.cell_id),",
+        "sel1 AS (SELECT vec_id, cell_id, CAST(NULL AS BIGINT) AS sim_ppm,"
+        " 1 AS pick_rank FROM ("
+        "SELECT vec_id, cell_id, row_number() OVER (PARTITION BY cell_id"
+        " ORDER BY den DESC, vec_id) AS rn_ FROM den) WHERE rn_ = 1),",
+    ]
+    for i in range(2, DIV_BUDGET + 1):
+        pool = " UNION ALL ".join(
+            f"SELECT vec_id, cell_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"pool{i} AS ({pool}),"
+            f" sc{i} AS (SELECT m.vec_id, m.cell_id,"
+            f" max(e.cos_ppm) AS sim_ppm"
+            f" FROM mem m LEFT JOIN ("
+            f"SELECT u.v, s.cell_id, u.cos_ppm"
+            f" FROM und u JOIN pool{i} s ON s.vec_id = u.u) e"
+            f" ON e.v = m.vec_id AND e.cell_id = m.cell_id"
+            f" WHERE NOT EXISTS ("
+            f"SELECT 1 FROM pool{i} x WHERE x.vec_id = m.vec_id)"
+            f" GROUP BY m.vec_id, m.cell_id),"
+            f" sel{i} AS (SELECT vec_id, cell_id, sim_ppm,"
+            f" {i} AS pick_rank FROM ("
+            f"SELECT vec_id, cell_id, sim_ppm,"
+            f" row_number() OVER (PARTITION BY cell_id"
+            f" ORDER BY coalesce(sim_ppm, {_DIV_FAR}) ASC, vec_id) AS rn_"
+            f" FROM sc{i}) WHERE rn_ = 1),"
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, DIV_BUDGET + 1)
+    )
+    # strip the trailing comma off the last CTE before the final SELECT
+    body = "\n    ".join(parts).rstrip(",")
+    return (
+        f"{body}\n    "
+        f"SELECT vec_id, cell_id, CAST(pick_rank AS BIGINT) AS pick_rank,"
+        f" CAST(sim_ppm AS BIGINT) AS sim_ppm FROM ({picks})"
+    )
+
+
+def _div_round(
+    mem: DataFrame, und: DataFrame, sel: DataFrame, rank_no: int
+) -> DataFrame:
+    """One unrolled farthest-point round: among each cell's unselected
+    members, pick the one whose max cosine into the already-selected
+    set is SMALLEST (members with no edge rank via the beyond-horizon
+    sentinel), ties on the smallest vec_id. Join order is
+    edges-into-selected FIRST (|selected| rows per cell per round), so
+    the per-round work is one semi-filtered edge scan + one hash-agg +
+    one bounded window — never member x member."""
+    esel = und.join(
+        sel.select(F.col("vec_id").alias("u"), "cell_id"), "u"
+    ).select(F.col("v").alias("vec_id"), "cell_id", "cos_ppm")
+    unsel = mem.join(sel.select("vec_id"), "vec_id", "left_anti")
+    scored = (
+        unsel.join(esel, ["vec_id", "cell_id"], "left")
+        .groupBy("vec_id", "cell_id")
+        .agg(F.max("cos_ppm").alias("sim_ppm"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.coalesce(F.col("sim_ppm"), F.lit(_DIV_FAR)).asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("sim_ppm").cast("long").alias("sim_ppm"),
+            F.lit(rank_no).cast("long").alias("pick_rank"),
+        )
+    )
+
+
+def diversity_select(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = DIV_BUDGET,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The parametrized plan behind ``q_diversity_select``: per-cell
+    farthest-point picks over the kNN edge list. ``edges`` lets a
+    curation run feed :func:`materialize_knn_graph`'s cached parquet
+    (the q_dedup_semantic_from_graph pattern) instead of rebuilding the
+    graph inline; ``budget`` extends the picks past the certified
+    unroll depth — each extra pick is one more (semi-join + hash-agg +
+    bounded window) round over the same bounded n*K edges."""
+    assigned = _adaptive_assign(spark, sf_dir)
+    mem = (
+        assigned.filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell_id"))
+        .persist()
+    )
+    g = (
+        edges if edges is not None else knn_graph(spark, sf_dir)
+    ).select("q_id", "nbr_id", "cos_ppm").persist()
+    und = g.select(
+        F.col("q_id").alias("v"), F.col("nbr_id").alias("u"), "cos_ppm"
+    ).unionByName(
+        g.select(
+            F.col("nbr_id").alias("v"), F.col("q_id").alias("u"), "cos_ppm"
+        )
+    )
+    den = (
+        mem.join(
+            g.select(F.col("q_id").alias("vec_id"), "cos_ppm"),
+            "vec_id",
+            "left",
+        )
+        .groupBy("vec_id", "cell_id")
+        .agg(F.coalesce(F.sum("cos_ppm"), F.lit(0)).alias("den"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("den").desc(), F.col("vec_id")
+    )
+    out = (
+        den.withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.lit(None).cast("long").alias("sim_ppm"),
+            F.lit(1).cast("long").alias("pick_rank"),
+        )
+        .persist()
+    )
+    sel = out.select("vec_id", "cell_id").persist()
+    for i in range(2, budget + 1):
+        pick = _div_round(mem, und, sel, i).persist()
+        out = out.unionByName(pick)
+        sel = sel.unionByName(pick.select("vec_id", "cell_id")).persist()
+    return out
+
+
+@query(
+    "q_diversity_select",
+    _div_oracle(),
+    doc="Diversity-aware subset selection over the kNN graph — the "
+    "last graph consumer q_knn_graph's doc promises (after SemDeDup "
+    "and label propagation), completing the curation arc: after "
+    "near-dups are collapsed, PICK the {B} most mutually-dissimilar "
+    "representatives per IVF cell for coverage-preserving corpus "
+    "pruning. Pick 1 per cell = the density seed (largest summed "
+    "cos_ppm over its graph out-edges — the best single-point cover; "
+    "ties min vec_id); picks 2..{B} = unrolled farthest-point rounds: "
+    "the unselected member whose MAX cosine into the selected set is "
+    "smallest, where a pair absent from the kNN edge list is beyond "
+    "the horizon (farther than every scored pair — ranked via an "
+    "integer sentinel below cos_ppm's floor, emitted as NULL, never "
+    "defaulted). Output (vec_id, cell_id, pick_rank, sim_ppm): "
+    "sim_ppm is the pick's redundancy vs the set so far, so a user "
+    "prunes to a coverage target by thresholding pick_rank or "
+    "sim_ppm; cells smaller than the budget emit fewer picks (no "
+    "padding). Unrolling keeps the oracle a finite CTE chain on the "
+    "SAME certified _KNN_GRAPH_ORACLE_CTES edges (shared lineage with "
+    "q_knn_graph / q_label_propagation — the consumers cannot drift "
+    "from the graph they consume), and every ranking key is integer "
+    "with a full (score, vec_id) tiebreak, so the engines cannot "
+    "diverge. 100 TB shape: edges are the graph's bounded n*K rows; "
+    "selection is hash-partitioned by cell; each round joins "
+    "edges-into-selected FIRST (|cells| rows per round), then one "
+    "hash-agg + one bounded window — O(budget * E) total, no "
+    "cartesian, no collect; the production form feeds "
+    "materialize_knn_graph's cached parquet via the edges= dial. "
+    "Extra: certified by the pytest oracle gate.".format(B=DIV_BUDGET),
+    tags=("similarity", "pipeline", "sampling"),
+    extra=True,
+)
+def q_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diversity_select(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus shuffle for training export
 # ---------------------------------------------------------------------------
 

@@ -100,79 +100,72 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-12 ROTATION (the round-11 verdict's prescribed set): (1) ALL 34
-# queries whose newest driver row is round 9 — the staleness frontier
-# ("no registry row older than two rounds" breaks for them at r12); the
-# exact list is the round-11 verdict's "What's wrong #1", verified
-# against the CORRECTNESS_r01..r11 union before rotating. (2) The
-# round-12 plan-touched queries — q_knn_graph_lsh (the Spark band_sig
-# fold realigned to LSB-first to match the oracle's encoding, ADVICE
-# r11 #1), q_media_neardup (the codepoint-domain invariant pinning the
-# char-histogram == byte-histogram bridge, ADVICE r11 #2), and
-# q_media_neardup_binary (NEW: the binary-payload featurizer
-# certification, round-11 verdict task 4; a newly registered query
-# certifies in its landing round), and q_label_propagation (NEW: the
-# third promised kNN-graph consumer, landing-round certification).
-# (3) The remaining spare slots carry all 12 bench headliners (their
-# driver rows should track the plans the judge prices every round).
-# The 49 remaining round-10-green queries rest one round on
-# validate.py + the oracle-extras pytest gate (same compare, run every
-# session) and are the r13 frontier.
+# ROUND-13 ROTATION (the round-12 verdict's prescribed set, task 1):
+# (1) ALL 49 queries whose newest driver row is round 10 — the staleness
+# frontier ("no registry row older than two rounds" breaks for them at
+# r13); the exact list was recomputed from the CORRECTNESS_r01..r12
+# union before rotating (histogram r12: 50, r11: 36, r10: 49).
+# (2) The one spare slot carries q_diversity_select (NEW this round:
+# diversity-aware subset selection over the certified kNN graph — the
+# last promised consumer in q_knn_graph's doc; a newly registered query
+# certifies in its landing round). The 12 bench headliners and the
+# r11/r12-green rows rest this round on tools/validate.py + the
+# oracle-extras pytest gate (same compare, run every session); the 36
+# r11-green rows are the r14 frontier.
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- the 34 round-9-stale rows (the staleness frontier) ------------------
-    "q_anti_join",
-    "q_approx_percentile",
-    "q_asof_join",
-    "q_count",
-    "q_dedup_block",
-    "q_dedup_candidates_verified",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_embed_cosine",
-    "q_dedup_embed_cosine_bruteforce",
-    "q_dedup_embed_lsh",
-    "q_dedup_incremental",
-    "q_doc_chunk",
-    "q_doc_fingerprint",
-    "q_embed_ivf",
-    "q_embed_ivf_search",
-    "q_grouping_sets",
-    "q_lm_score",
-    "q_percentile",
-    "q_range_join",
-    "q_rank_topn_per_group",
-    "q_rollup",
-    "q_sample_per_group",
-    "q_semi_anti",
-    "q_semi_join",
-    "q_set_ops",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_topterms",
-    "q_tfidf",
-    "q_token_count",
-    "q_train_test_split",
-    "q_window_suite",
-    # -- round-12 plan-touched / newly registered ----------------------------
-    "q_knn_graph_lsh",
-    "q_label_propagation",
-    "q_media_neardup",
-    "q_media_neardup_binary",
-    # -- bench headliners (fresh rows alongside the priced plans) ------------
-    "q_broadcast_join",
-    "q_corpus_prep",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_embed_topk",
-    "q_gprs_pipeline",
-    "q_group_concat",
-    "q_join_bigbig",
-    "q_sessionize",
-    "q_tpch_q1",
-    "q_window_sliding",
+    # -- the 49 round-10-stale rows (the staleness frontier) -----------------
+    "q_approx_aggs",
+    "q_approx_count_distinct",
+    "q_cluster_sort",
+    "q_contamination",
+    "q_count_by_type",
+    "q_count_distinct",
+    "q_cube",
+    "q_data_mix",
+    "q_date_bucket",
+    "q_dedup_keep_best",
+    "q_dedup_semantic_from_graph",
+    "q_dedup_simhash_pairs",
+    "q_dedup_simhash_wide",
+    "q_dirty_filter",
+    "q_distinct",
+    "q_embed_quantize_topk",
+    "q_except",
+    "q_fanout_dup",
+    "q_field_drop",
+    "q_field_extract",
+    "q_filter_prefix",
+    "q_histogram",
+    "q_intersect",
+    "q_json_extract",
+    "q_json_typed",
+    "q_knn_graph",
+    "q_lag_delta",
+    "q_left_join_default",
+    "q_lookup_build",
+    "q_md5_mask",
+    "q_md5_mask_multi",
+    "q_moving_window",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_profile",
+    "q_project_44to10",
+    "q_project_kv",
+    "q_rep_filter",
+    "q_sample_stratified",
+    "q_seq_pack",
+    "q_sketch_rollup",
+    "q_subqueries",
+    "q_text_normalize",
+    "q_time_rollup",
+    "q_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_union",
+    "q_window_tumbling",
+    # -- round-13 newly registered (landing-round certification) -------------
+    "q_diversity_select",
 )
 
 

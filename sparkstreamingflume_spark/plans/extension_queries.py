@@ -5488,15 +5488,33 @@ def _label_prop_round(
     extra=True,
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(spark, sf_dir, rounds=2)
+
+
+def label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 2,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The rounds-parametrized plan behind ``q_label_propagation``
+    (round-12 verdict task 4 — the production form): ``rounds`` deep
+    majority-vote propagation, ``edges`` pluggable so a curation run
+    feeds :func:`materialize_knn_graph`'s cached parquet (the
+    q_dedup_semantic_from_graph pattern) instead of rebuilding the
+    graph per run. Each round is one semi-join + one hash-agg + one
+    bounded (vertex, label) window over the SAME bounded n*K edge
+    list — O(rounds * E) total; the frontier of still-unlabeled
+    vertices only shrinks, so later rounds cost monotonically less."""
     from sparkstreamingflume_spark.session import load_table
 
-    edges = knn_graph(spark, sf_dir).select("q_id", "nbr_id")
+    e = (
+        edges if edges is not None else knn_graph(spark, sf_dir)
+    ).select("q_id", "nbr_id")
     und = (
-        edges.select(F.col("q_id").alias("v"), F.col("nbr_id").alias("u"))
+        e.select(F.col("q_id").alias("v"), F.col("nbr_id").alias("u"))
         .unionByName(
-            edges.select(
-                F.col("nbr_id").alias("v"), F.col("q_id").alias("u")
-            )
+            e.select(F.col("nbr_id").alias("v"), F.col("q_id").alias("u"))
         )
         .distinct()
         .persist()
@@ -5504,7 +5522,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("v"), "label"
     )
-    l0 = (
+    lcur = (
         und.select("v")
         .distinct()
         .join(labels, "v", "left")
@@ -5518,14 +5536,88 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # each round reads its predecessor three times
     )
-    l1 = _label_prop_round(und, l0, 1).persist()
-    l2 = _label_prop_round(und, l1, 2)
-    out = l2.select(
+    for i in range(1, rounds + 1):
+        lcur = _label_prop_round(und, lcur, i).persist()
+    return lcur.select(
         F.col("v").alias("vec_id"),
         F.col("label").alias("label_out"),
         F.col("hops").cast("long").alias("hops"),
     )
-    return out
+
+
+LABEL_PROP_DEEP_ROUNDS = 4
+
+
+def _label_prop_oracle(rounds: int) -> str:
+    """Generate the ``rounds``-deep unrolled majority-vote CTE chain —
+    the same finite-SQL certification shape as LABEL_PROP_ORACLE
+    (which stays the hand-written 2-round anchor), with (label, hops)
+    carried through every layer so any depth is certifiable."""
+    parts = [
+        f"WITH {_KNN_GRAPH_ORACLE_CTES},",
+        "und AS (SELECT q_id AS v, nbr_id AS u FROM graph"
+        " UNION SELECT nbr_id, q_id FROM graph),",
+        "verts AS (SELECT DISTINCT v FROM und),",
+        "l0 AS (SELECT verts.v,"
+        " CASE WHEN verts.v % 5 = 0 THEN lbl.label END AS label,"
+        " CASE WHEN verts.v % 5 = 0 AND lbl.label IS NOT NULL"
+        " THEN CAST(0 AS BIGINT) END AS hops"
+        " FROM verts LEFT JOIN"
+        " (SELECT vec_id, label FROM embeddings) lbl"
+        " ON lbl.vec_id = verts.v),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT u.v, n.label, count(*) AS c"
+            f" FROM und u"
+            f" JOIN l{i - 1} n ON n.v = u.u AND n.label IS NOT NULL"
+            f" JOIN l{i - 1} me ON me.v = u.v AND me.label IS NULL"
+            f" GROUP BY u.v, n.label),"
+            f" p{i} AS (SELECT v, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v"
+            f" ORDER BY c DESC, label) AS rn_ FROM v{i}) WHERE rn_ = 1),"
+            f" l{i} AS (SELECT l{i - 1}.v,"
+            f" coalesce(l{i - 1}.label, p{i}.label) AS label,"
+            f" coalesce(l{i - 1}.hops, CASE WHEN p{i}.label IS NOT NULL"
+            f" THEN CAST({i} AS BIGINT) END) AS hops"
+            f" FROM l{i - 1} LEFT JOIN p{i} ON p{i}.v = l{i - 1}.v),"
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return (
+        f"{body}\n    "
+        f"SELECT v AS vec_id, label AS label_out,"
+        f" CAST(hops AS BIGINT) AS hops FROM l{rounds}"
+    )
+
+
+@query(
+    "q_label_propagation_deep",
+    _label_prop_oracle(LABEL_PROP_DEEP_ROUNDS),
+    doc="Label propagation at PRODUCTION depth ({R} rounds) over the "
+    "build-once cached kNN edges (materialize_knn_graph — the "
+    "q_dedup_semantic_from_graph decomposition), certifying the two "
+    "things the 2-round anchor q_label_propagation leaves open: the "
+    "rounds-parametrized builder matches a {R}-deep unrolled oracle "
+    "(the oracle chain is GENERATED per depth — same finite-CTE "
+    "certification shape, no recursion), and feeding the materialized "
+    "graph parquet instead of the inline build changes nothing "
+    "(shared _KNN_GRAPH_ORACLE_CTES lineage). hops now ranges 0..{R} "
+    "with NULL = unreached within {R} hops. 100 TB shape: the graph "
+    "build is paid ONCE per corpus snapshot (the cache), each round "
+    "is one semi-join + hash-agg + bounded window over the n*K edges "
+    "with a monotonically SHRINKING unlabeled frontier — O(rounds*E) "
+    "worst case, and rounds beyond graph diameter are free (empty "
+    "frontier joins). Extra: certified by the pytest oracle "
+    "gate.".format(R=LABEL_PROP_DEEP_ROUNDS),
+    tags=("similarity", "iterative", "pipeline"),
+    extra=True,
+)
+def q_label_propagation_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = materialize_knn_graph(spark, sf_dir)
+    edges = spark.read.schema(KNN_GRAPH_SCHEMA).parquet(path)
+    return label_propagation(
+        spark, sf_dir, rounds=LABEL_PROP_DEEP_ROUNDS, edges=edges
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -448,7 +448,9 @@ def _reassign(members: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def prepare_rebootstrap(spark: SparkSession, index_dir: str) -> dict | None:
+def prepare_rebootstrap(
+    spark: SparkSession, index_dir: str, background: bool = False
+) -> dict | None:
     """Phase 1 of the geometry rebuild — build the NEXT geometry into
     STAGED dirs, touching no live state (round-11 verdict task 3: the
     ~9 s in-slot rebuild pushed re-bootstrap batches to p99 24.7 s
@@ -456,6 +458,17 @@ def prepare_rebootstrap(spark: SparkSession, index_dir: str) -> dict | None:
     renames plus a small late-tail re-assignment). Safe to run
     CONCURRENTLY with ingest batches — it only reads live state (the
     single-writer discipline still applies between maintenance calls).
+
+    ``background=True`` (a live stream's off-slot thread) SKIPS the
+    mutating crash recovery (ADVICE r12 #1: recover_index deletes
+    ``.{name}_tmp`` / renames ``.{name}_old`` back, so racing the
+    in-slot compact/commit it can delete a tmp dir mid-write_swap or
+    rename stale state back mid-swap_in, killing the stream inside
+    foreachBatch). Recovery already runs in EVERY slot-side
+    maintenance call (compact_index, commit_rebootstrap, _growth_due),
+    so a background prepare only ever reads already-recovered state —
+    and if a swap races one of its reads, the prepare fails and is
+    simply re-kicked next slot (the caller's retry contract).
 
     Steps: materialize a collapsed snapshot of the live members at
     ``.geom_snap`` (one action, so every derived plan reads a STABLE
@@ -474,8 +487,9 @@ def prepare_rebootstrap(spark: SparkSession, index_dir: str) -> dict | None:
     )
     from sparkstreamingflume_spark.streaming.state import _hadoop_fs, _jp
 
-    for name in ("cents", "members", "meta"):
-        recover_index(spark, index_dir, name)
+    if not background:
+        for name in ("cents", "members", "meta"):
+            recover_index(spark, index_dir, name)
     gen_next = (
         max(0, _gen_of(read_state(spark, index_dir, "meta", META_SCHEMA)))
         + 1
@@ -557,6 +571,18 @@ def commit_rebootstrap(spark: SparkSession, index_dir: str) -> dict | None:
         int(man[0].k),
     )
     fs, _ = _hadoop_fs(spark, index_dir)
+    # ADVICE r12 #2: a crash between the meta stamp and the manifest
+    # delete leaves a manifest whose gen is ALREADY live (cents == meta
+    # gens, so the consistency check never fires) — without this guard
+    # the stale manifest makes maybe_prepare_rebootstrap return None
+    # forever, permanently disabling growth rebuilds. gen <= live meta
+    # gen means the commit completed: drop the leftovers and move on.
+    if gen <= _gen_of(read_state(spark, index_dir, "meta", META_SCHEMA)):
+        # drop ONLY the manifest — a concurrent background prepare may
+        # be mid-build on .geom_snap; its own completion path (or the
+        # normal commit) owns the snap's lifecycle
+        fs.delete(_jp(spark, f"{index_dir}/geom_staged"), True)
+        return None
     cents_staged = f"{index_dir}/.cents_staged"
     members_staged = f"{index_dir}/.members_staged"
     n_tail = 0
@@ -615,15 +641,23 @@ def rebootstrap_knn_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _growth_due(
-    spark: SparkSession, index_dir: str, growth_factor: float
+    spark: SparkSession, index_dir: str, growth_factor: float,
+    mutate: bool = True,
 ) -> bool:
     """The shared trigger: live distinct members >= factor × the base
     stamped at the last (re)bootstrap. Recovers meta first (ADVICE
     r11 #4 — this was the one maintenance path skipping the 'run
     recover before any maintenance write' discipline); an index
     predating the meta sidecar gets one stamped at the CURRENT size
-    (growth measured from now on) and reports not-due."""
-    recover_index(spark, index_dir, "meta")
+    (growth measured from now on) and reports not-due.
+
+    ``mutate=False`` (a background caller — ADVICE r12 #1) performs
+    NEITHER the recovery nor the legacy meta stamp: both mutate the
+    filesystem and could race the in-slot maintenance writer. A
+    legacy index just reports not-due until a slot-side call stamps
+    its meta."""
+    if mutate:
+        recover_index(spark, index_dir, "meta")
     meta = read_state(spark, index_dir, "meta", META_SCHEMA).collect()
     n = (
         read_state(spark, index_dir, "members", MEMBERS_SCHEMA)
@@ -631,6 +665,8 @@ def _growth_due(
         .distinct()
         .count()
     )
+    if not meta and not mutate:
+        return False
     if not meta:
         gen = max(
             0, _gen_of(read_state(spark, index_dir, "cents", CENTS_SCHEMA))
@@ -660,20 +696,35 @@ def maybe_rebootstrap(
 
 
 def maybe_prepare_rebootstrap(
-    spark: SparkSession, index_dir: str, growth_factor: float = 2.0
+    spark: SparkSession,
+    index_dir: str,
+    growth_factor: float = 2.0,
+    background: bool = False,
 ) -> dict | None:
     """The ASYNC trigger: when growth is due AND nothing is already
     staged, build the next geometry into the staged dirs (read-only
     against live state, so it can run on a background thread while
     batches ingest). The next maintenance slot turns it live with
     :func:`commit_rebootstrap` — renames + the late tail, not the
-    build. Returns prepare stats, or None (not due / already
-    staged)."""
+    build. Returns prepare stats, or None (not due / already staged).
+
+    Live streams MUST pass ``background=True`` when calling off-slot:
+    it suppresses every mutating step (crash recovery, the legacy
+    meta stamp) that could race the in-slot maintenance writer
+    (ADVICE r12 #1). A manifest whose geom_gen is <= the live meta
+    gen is STALE (its commit completed; the crash hit the
+    manifest-delete tail — ADVICE r12 #2) and does not block a new
+    prepare: the prepare's final write_swap simply replaces it."""
     staged = read_state(
         spark, index_dir, "geom_staged", GEOM_STAGED_SCHEMA
     ).collect()
     if staged:
+        live_gen = _gen_of(read_state(spark, index_dir, "meta", META_SCHEMA))
+        if int(staged[0].geom_gen) > live_gen:
+            return None  # genuinely staged, awaiting its commit slot
+        # stale manifest (already committed): fall through and let the
+        # new prepare overwrite it (slot-side commit_rebootstrap also
+        # deletes it defensively)
+    if not _growth_due(spark, index_dir, growth_factor, mutate=not background):
         return None
-    if not _growth_due(spark, index_dir, growth_factor):
-        return None
-    return prepare_rebootstrap(spark, index_dir)
+    return prepare_rebootstrap(spark, index_dir, background=background)

@@ -94,6 +94,13 @@ from sparkstreamingflume_spark.streaming.state import (
 PLANES_SCHEMA = "p int, bucket long, w long, geom_gen long"
 MMETA_SCHEMA = "nbits int, base_media long, geom_gen long"
 MGEOM_STAGED_SCHEMA = "geom_gen long, wm long, nbits int, n_snapshot long"
+# In-flight staging cursor for the SLICED re-sign (round-12 verdict
+# task 3): last_id = the largest media_id already re-signed into
+# .sigs_staged; the completion manifest (mgeom_staged) is written only
+# when the cursor runs off the end of the snapshot.
+MGEOM_PROGRESS_SCHEMA = (
+    "geom_gen long, wm long, nbits int, n_snapshot long, last_id long"
+)
 SIGS_SCHEMA = "media_id long, band int, band_sig long, batch_id long"
 HISTS_SCHEMA = "media_id long, bucket long, cnt long, batch_id long"
 
@@ -300,23 +307,24 @@ def bootstrap_media_index(
     )
     n = hist.select("media_id").distinct().count()
     nbits = _nbits_for(n)
-    write_swap(
-        spark,
-        spark.createDataFrame([(nbits, n, 0)], MMETA_SCHEMA),
-        index_dir,
-        "mmeta",
-    )
     planes = _build_planes(hist, nbits).withColumn(
         "geom_gen", F.lit(0).cast("long")
-    )
-    n_planes = write_swap(spark, planes, index_dir, "planes")
-    if n_planes == 0:
+    ).persist()
+    # validate BEFORE any state write (ADVICE r12 #3: the old order
+    # stamped mmeta and the empty planes dir first, so a caller that
+    # caught the raise left a half-bootstrapped index that passed the
+    # not-bootstrapped check and streamed forever emitting zero pairs)
+    if planes.count() == 0:
+        planes.unpersist()
+        hist.unpersist()
         raise RuntimeError(
             "bootstrap_media_index built ZERO planes — the seed corpus"
             " needs at least 2 media with non-empty payloads; a"
             " plane-free index would sign every batch into one bucket"
             " and silently never emit a pair"
         )
+    n_planes = write_swap(spark, planes, index_dir, "planes")
+    planes.unpersist()
     planes_df = read_state(spark, index_dir, "planes", PLANES_SCHEMA)
 
     sig = _sign(hist, planes_df, nbits)
@@ -331,6 +339,16 @@ def bootstrap_media_index(
         hist.withColumn("batch_id", F.lit(-1).cast("long")),
         index_dir,
         "hists",
+    )
+    # mmeta is the batch callback's bootstrapped-marker: written LAST
+    # (after planes/sigs/hists), so any crash inside bootstrap leaves
+    # an index that still fails the not-bootstrapped check instead of
+    # half-working
+    write_swap(
+        spark,
+        spark.createDataFrame([(nbits, n, 0)], MMETA_SCHEMA),
+        index_dir,
+        "mmeta",
     )
     n_pairs = 0
     if out_dir is not None:
@@ -422,11 +440,18 @@ def media_neardup_batch(
     prior_sigs = read_state(spark, index_dir, "sigs", SIGS_SCHEMA).filter(
         F.col("batch_id") < F.lit(int(batch_id))
     )
-    # probe-time bucket occupancy = prior index rows + this batch's
-    # rows in the bucket; over the ceiling -> dropped, never enumerated
+    # probe-time bucket occupancy = prior index MEMBERS + this batch's
+    # in the bucket; over the ceiling -> dropped, never enumerated.
+    # Occupancy counts DISTINCT (media_id, band, band_sig) — raw rows
+    # would let uncompacted replay duplicates (bit-identical re-appends
+    # after a crash) inflate a bucket past BUCKET_CEIL spuriously,
+    # silently dropping real candidates until the next compaction,
+    # where the verify path already collapses duplicates (ADVICE
+    # r12 #4: ceiling and verify must share replay-insensitivity).
     occ = (
-        prior_sigs.select("band", "band_sig")
-        .unionByName(sig.select("band", "band_sig"))
+        prior_sigs.select("media_id", "band", "band_sig")
+        .unionByName(sig.select("media_id", "band", "band_sig"))
+        .dropDuplicates(["media_id", "band", "band_sig"])
         .groupBy("band", "band_sig")
         .agg(F.count("*").alias("bsz_"))
         .filter(F.col("bsz_") <= ceil_)
@@ -566,7 +591,10 @@ def compact_media_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def prepare_media_rebootstrap(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession,
+    index_dir: str,
+    background: bool = False,
+    slice_media: int | None = None,
 ) -> dict | None:
     """Phase 1 of the media geometry rebuild — the streaming/knn.py
     staged pattern: the frozen bootstrap geometry decays as the corpus
@@ -576,60 +604,204 @@ def prepare_media_rebootstrap(
     the corpus has outgrown its band width the planes + signatures are
     rebuilt FROM THE LIVE HISTOGRAMS (the featurizer output is
     geometry-independent — hists never rotate). Builds into staged
-    dirs, touching no live state; safe concurrent with ingest.
+    dirs, touching no live state (``background=True`` additionally
+    skips the mutating crash recovery — ADVICE r12 #1, the
+    streaming/knn.py contract: recovery runs in every slot-side
+    maintenance call, so a background prepare must never race it).
 
-    Steps: snapshot the collapsed live hists at ``.mgeom_snap`` (one
-    action — stable file set for every derived plan); nbits from the
-    live media count (the shared clamp); planes from the snapshot's
-    first 2·bands·nbits ids (:func:`_build_planes`); every snapshot
-    media re-signed, keeping its ORIGINAL min batch_id so the
-    ``batch_id < B`` probe filter is untouched. The manifest
-    (``mgeom_staged``) is written LAST. Returns stats, or None on an
-    empty index."""
-    for name in ("planes", "mmeta", "sigs", "hists"):
-        recover_index(spark, index_dir, name)
-    gen_next = (
-        max(0, _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA)))
-        + 1
-    )
-    hists = read_state(spark, index_dir, "hists", HISTS_SCHEMA)
-    collapsed = hists.groupBy("media_id", "bucket").agg(
-        F.first("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
-    )
+    UNLIKE the kNN prepare (whose build is centroid-sized), the media
+    re-sign is CORPUS-sized — at 100x corpus a one-shot background
+    build starves ingest even at FAIR weight 1 (round-12 verdict
+    task 3: the rotation-concurrent batch hit p99 24.9 s > the 20 s
+    trigger). ``slice_media=N`` therefore makes the prepare a RESUMABLE
+    state machine, each call bounded:
+
+    * INIT (no progress cursor): snapshot the collapsed live hists at
+      ``.mgeom_snap`` (one linear pass — stable file set for every
+      later slice), build the staged planes (bounded: <=192 seed
+      media), write the ``mgeom_progress`` cursor. No media signed yet.
+    * SLICE (cursor present): re-sign the next <=N media ids (ordered,
+      ``media_id > last_id``, semi-joined from the snapshot) against
+      the staged planes, append to ``.sigs_staged`` (anti-joined
+      against ids already staged, so a crash between the append and
+      the cursor bump re-runs clean), advance the cursor.
+    * FINAL (cursor past the snapshot's last id): write the
+      ``mgeom_staged`` completion manifest, drop the cursor. Only now
+      will :func:`commit_media_rebootstrap` turn the geometry live —
+      media ingested while the staging crawled are the late tail, which
+      the commit already re-signs (``batch_id >= wm``).
+
+    ``slice_media=None`` runs INIT + one all-remaining slice + FINAL
+    in a single call (the offline/test path — bit-identical staged
+    output, same manifests). Each media keeps its ORIGINAL min
+    batch_id so the ``batch_id < B`` probe filter is untouched.
+    Returns per-call stats (``phase`` = init/slice/final), or None on
+    an empty index."""
+    if not background:
+        for name in ("planes", "mmeta", "sigs", "hists"):
+            recover_index(spark, index_dir, name)
+    fs, _ = _hadoop_fs(spark, index_dir)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
     snap = f"{index_dir}/.mgeom_snap"
-    collapsed.write.mode("overwrite").parquet(snap)
-    snap_df = spark.read.schema(HISTS_SCHEMA).parquet(snap)
-    agg = snap_df.agg(
-        F.countDistinct("media_id").alias("n"),
-        F.coalesce(F.max("batch_id"), F.lit(-1)).alias("wm"),
-    ).first()
-    n = int(agg["n"])
-    if n == 0:
-        return None
-    wm = int(agg["wm"])
-    nbits = _nbits_for(n)
-    planes_new = _build_planes(
-        snap_df.select("media_id", "bucket", "cnt"), nbits
-    ).withColumn("geom_gen", F.lit(gen_next).cast("long"))
     planes_staged = f"{index_dir}/.planes_staged"
-    planes_new.repartition(1).write.mode("overwrite").parquet(planes_staged)
+    sigs_staged = f"{index_dir}/.sigs_staged"
+    live_gen = _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA))
+    prog = read_state(
+        spark, index_dir, "mgeom_progress", MGEOM_PROGRESS_SCHEMA
+    ).collect()
+    # a cursor whose generation is already live is debris from an
+    # abandoned staging (e.g. a synchronous rebuild ran meanwhile):
+    # restart from INIT, which overwrites every staged artifact. Same
+    # if the snapshot vanished under a live cursor (only possible via
+    # external cleanup) — a slice cannot resume without its snapshot.
+    if prog and (
+        int(prog[0].geom_gen) <= live_gen or not fs.exists(jp(snap))
+    ):
+        prog = []
+
+    if not prog:
+        # ---- INIT: snapshot + staged planes + cursor ----
+        gen_next = max(0, live_gen) + 1
+        hists = read_state(spark, index_dir, "hists", HISTS_SCHEMA)
+        collapsed = hists.groupBy("media_id", "bucket").agg(
+            F.first("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
+        )
+        collapsed.write.mode("overwrite").parquet(snap)
+        snap_df = spark.read.schema(HISTS_SCHEMA).parquet(snap)
+        agg = snap_df.agg(
+            F.countDistinct("media_id").alias("n"),
+            F.coalesce(F.max("batch_id"), F.lit(-1)).alias("wm"),
+        ).first()
+        n = int(agg["n"])
+        if n == 0:
+            return None
+        wm = int(agg["wm"])
+        nbits = _nbits_for(n)
+        planes_new = _build_planes(
+            snap_df.select("media_id", "bucket", "cnt"), nbits
+        ).withColumn("geom_gen", F.lit(gen_next).cast("long"))
+        planes_new.repartition(1).write.mode("overwrite").parquet(
+            planes_staged
+        )
+        # a fresh staging must not inherit a dead one's signatures
+        fs.delete(jp(sigs_staged), True)
+        write_swap(
+            spark,
+            spark.createDataFrame(
+                [(gen_next, wm, nbits, n, -1)], MGEOM_PROGRESS_SCHEMA
+            ),
+            index_dir,
+            "mgeom_progress",
+        )
+        if slice_media is not None:
+            return {
+                "phase": "init",
+                "geom_gen": gen_next,
+                "nbits": nbits,
+                "n_snapshot": n,
+                "wm": wm,
+            }
+        prog = read_state(
+            spark, index_dir, "mgeom_progress", MGEOM_PROGRESS_SCHEMA
+        ).collect()
+
+    # ---- SLICE / FINAL: advance the cursor over the snapshot ----
+    gen_next, wm, nbits, n, last_id = (
+        int(prog[0].geom_gen),
+        int(prog[0].wm),
+        int(prog[0].nbits),
+        int(prog[0].n_snapshot),
+        int(prog[0].last_id),
+    )
+    snap_df = spark.read.schema(HISTS_SCHEMA).parquet(snap)
     staged_p = spark.read.schema(PLANES_SCHEMA).parquet(planes_staged)
-    bid = snap_df.groupBy("media_id").agg(
+    remaining = (
+        snap_df.select("media_id")
+        .filter(F.col("media_id") > last_id)
+        .distinct()
+    )
+    if slice_media is not None:
+        slice_ids = remaining.orderBy("media_id").limit(slice_media)
+    else:
+        slice_ids = remaining
+    slice_ids = slice_ids.persist()
+    n_slice = slice_ids.count()
+    if n_slice == 0:
+        # ---- FINAL: staging complete -> completion manifest ----
+        slice_ids.unpersist()
+        write_swap(
+            spark,
+            spark.createDataFrame(
+                [(gen_next, wm, nbits, n)], MGEOM_STAGED_SCHEMA
+            ),
+            index_dir,
+            "mgeom_staged",
+        )
+        fs.delete(jp(f"{index_dir}/mgeom_progress"), True)
+        return {
+            "phase": "final",
+            "geom_gen": gen_next,
+            "nbits": nbits,
+            "n_snapshot": n,
+            "wm": wm,
+        }
+    sl_hists = snap_df.join(slice_ids, "media_id", "leftsemi")
+    bid = sl_hists.groupBy("media_id").agg(
         F.min("batch_id").alias("batch_id")
     )
     sigs_new = _sign(
-        snap_df.select("media_id", "bucket", "cnt"), staged_p, nbits
+        sl_hists.select("media_id", "bucket", "cnt"), staged_p, nbits
     ).join(bid, "media_id")
-    sigs_new.write.mode("overwrite").parquet(f"{index_dir}/.sigs_staged")
+    if fs.exists(jp(sigs_staged)):
+        # crash idempotency: a slice that appended but died before the
+        # cursor bump re-runs as a no-op
+        already = (
+            spark.read.schema(SIGS_SCHEMA)
+            .parquet(sigs_staged)
+            .select("media_id")
+            .distinct()
+        )
+        sigs_new = sigs_new.join(already, "media_id", "left_anti")
+        sigs_new.write.mode("append").parquet(sigs_staged)
+    else:
+        sigs_new.write.mode("overwrite").parquet(sigs_staged)
+    hi = slice_ids.agg(F.max("media_id")).first()[0]
+    slice_ids.unpersist()
     write_swap(
         spark,
-        spark.createDataFrame([(gen_next, wm, nbits, n)], MGEOM_STAGED_SCHEMA),
+        spark.createDataFrame(
+            [(gen_next, wm, nbits, n, int(hi))], MGEOM_PROGRESS_SCHEMA
+        ),
         index_dir,
-        "mgeom_staged",
+        "mgeom_progress",
     )
-    fs, _ = _hadoop_fs(spark, index_dir)
-    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(snap), True)
-    return {"geom_gen": gen_next, "nbits": nbits, "n_snapshot": n, "wm": wm}
+    if slice_media is None:
+        # one-shot path: everything signed in the single slice above
+        write_swap(
+            spark,
+            spark.createDataFrame(
+                [(gen_next, wm, nbits, n)], MGEOM_STAGED_SCHEMA
+            ),
+            index_dir,
+            "mgeom_staged",
+        )
+        fs.delete(jp(f"{index_dir}/mgeom_progress"), True)
+        return {
+            "phase": "final",
+            "geom_gen": gen_next,
+            "nbits": nbits,
+            "n_snapshot": n,
+            "wm": wm,
+        }
+    return {
+        "phase": "slice",
+        "geom_gen": gen_next,
+        "nbits": nbits,
+        "n_snapshot": n,
+        "wm": wm,
+        "slice": n_slice,
+        "last_id": int(hi),
+    }
 
 
 def commit_media_rebootstrap(
@@ -658,6 +830,18 @@ def commit_media_rebootstrap(
     )
     fs, _ = _hadoop_fs(spark, index_dir)
     jp = spark._jvm.org.apache.hadoop.fs.Path
+    # ADVICE r12 #2 (the streaming/knn.py twin): a manifest whose gen
+    # is already live is debris from a crash between the mmeta stamp
+    # and the manifest delete — its commit COMPLETED; without this
+    # guard it would both block future rebuilds (maybe_prepare sees
+    # "staged") and send this function into swap_in against consumed
+    # staged dirs. Drop the leftovers and report nothing-to-commit.
+    if gen <= _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA)):
+        # drop ONLY the manifest: .mgeom_snap may belong to a NEWER
+        # in-flight sliced staging (its commit already deleted its own
+        # snap; a gen-N+2 staging re-creates it anyway)
+        fs.delete(jp(f"{index_dir}/mgeom_staged"), True)
+        return None
     planes_staged = f"{index_dir}/.planes_staged"
     sigs_staged = f"{index_dir}/.sigs_staged"
     n_tail = 0
@@ -710,6 +894,13 @@ def commit_media_rebootstrap(
     )
     fs.delete(jp(f"{index_dir}/mgeom_staged"), True)
     fs.delete(jp(f"{index_dir}/.mgeom_snap"), True)
+    # a staging cursor for the generation just committed is debris
+    # (crash between the FINAL manifest write and the cursor delete)
+    prog = read_state(
+        spark, index_dir, "mgeom_progress", MGEOM_PROGRESS_SCHEMA
+    ).collect()
+    if prog and int(prog[0].geom_gen) <= gen:
+        fs.delete(jp(f"{index_dir}/mgeom_progress"), True)
     return {
         "media": n_media,
         "nbits": nbits,
@@ -729,13 +920,19 @@ def rebootstrap_media_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _media_growth_due(
-    spark: SparkSession, index_dir: str, growth_factor: float
+    spark: SparkSession, index_dir: str, growth_factor: float,
+    mutate: bool = True,
 ) -> bool:
     """Trigger: live distinct media >= factor × the base stamped at the
     last (re)bootstrap. An index predating the base_media column gets
     one stamped at the CURRENT size (growth measured from now on) and
-    reports not-due; recovery runs before the stamp write."""
-    recover_index(spark, index_dir, "mmeta")
+    reports not-due; recovery runs before the stamp write.
+
+    ``mutate=False`` (background caller — ADVICE r12 #1) skips both
+    the recovery and the legacy stamp; a legacy index reports not-due
+    until a slot-side call stamps it."""
+    if mutate:
+        recover_index(spark, index_dir, "mmeta")
     meta = read_state(spark, index_dir, "mmeta", MMETA_SCHEMA).collect()
     if not meta:
         return False  # unbootstrapped — nothing to rebuild from
@@ -746,6 +943,8 @@ def _media_growth_due(
         .count()
     )
     base = meta[0].base_media
+    if base is None and not mutate:
+        return False
     if base is None:
         gen = max(
             0,
@@ -774,16 +973,38 @@ def maybe_media_rebootstrap(
 
 
 def maybe_prepare_media_rebootstrap(
-    spark: SparkSession, index_dir: str, growth_factor: float = 2.0
+    spark: SparkSession,
+    index_dir: str,
+    growth_factor: float = 2.0,
+    background: bool = False,
+    slice_media: int | None = None,
 ) -> dict | None:
     """The ASYNC trigger: prepare the staged geometry when growth is
-    due and nothing is already staged (run on a background thread;
-    commit in the next maintenance slot)."""
+    due and nothing is already staged (run on a background thread with
+    ``background=True`` — skips every mutating recovery step, ADVICE
+    r12 #1; commit in the next maintenance slot).
+
+    ``slice_media=N`` bounds each call to one INIT or one <=N-media
+    re-sign slice (round-12 verdict task 3): an in-flight staging
+    cursor resumes WITHOUT re-checking the growth trigger (the
+    trigger fired when the staging started), so repeated kicks crawl
+    the corpus one bounded slice per maintenance interval. A staged
+    manifest whose gen is already live (ADVICE r12 #2) does not block
+    a new prepare."""
     staged = read_state(
         spark, index_dir, "mgeom_staged", MGEOM_STAGED_SCHEMA
     ).collect()
-    if staged:
+    live_gen = _mgen_of(read_state(spark, index_dir, "mmeta", MMETA_SCHEMA))
+    if staged and int(staged[0].geom_gen) > live_gen:
+        return None  # genuinely staged, awaiting its commit slot
+    prog = read_state(
+        spark, index_dir, "mgeom_progress", MGEOM_PROGRESS_SCHEMA
+    ).collect()
+    in_flight = bool(prog) and int(prog[0].geom_gen) > live_gen
+    if not in_flight and not _media_growth_due(
+        spark, index_dir, growth_factor, mutate=not background
+    ):
         return None
-    if not _media_growth_due(spark, index_dir, growth_factor):
-        return None
-    return prepare_media_rebootstrap(spark, index_dir)
+    return prepare_media_rebootstrap(
+        spark, index_dir, background=background, slice_media=slice_media
+    )

@@ -513,3 +513,77 @@ def test_crash_between_commit_swaps_is_detected_and_repaired(
         for nbr, p, rn in _expected_topk(vecs[q], cand):
             want.add((q, nbr, p, rn))
     assert got == want
+
+def test_stale_manifest_self_heals_and_background_prepare_is_pure(
+    spark, tmp_path
+):
+    """ADVICE r12 #1/#2 pins. (1) A completion manifest whose geom_gen
+    is already live (a crash between the meta stamp and the manifest
+    delete) must neither wedge commit_rebootstrap nor permanently
+    block growth rebuilds: the commit drops it and reports
+    nothing-to-commit, and maybe_prepare_rebootstrap treats it as
+    not-staged. (2) A background prepare performs NO mutating crash
+    recovery: leftover .{name}_tmp / .{name}_old debris (a slot-side
+    write_swap in flight) survives a background maybe_prepare
+    untouched — only slot-side maintenance may recover it."""
+    import os
+
+    from sparkstreamingflume_spark.streaming.knn import (
+        GEOM_STAGED_SCHEMA,
+        bootstrap_knn_index,
+        commit_rebootstrap,
+        knn_update_batch,
+        maybe_prepare_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import (
+        read_state,
+        write_swap,
+    )
+
+    vecs = _vectors()
+    ids = sorted(vecs)
+    boot = {i: vecs[i] for i in ids[:30]}
+    growth = {i: vecs[i] for i in ids[30:90]}
+    corpus = _write_corpus(spark, str(tmp_path / "c0"), boot)
+    ix = tmp_path / "ix"
+    bootstrap_knn_index(spark, corpus, str(ix))
+    knn_update_batch(_batch_df(spark, growth), 0, str(ix), nprobe=8)
+
+    # (1) plant a stale manifest: gen 0 is already live
+    write_swap(
+        spark,
+        spark.createDataFrame([(0, -1, 8, 30)], GEOM_STAGED_SCHEMA),
+        str(ix),
+        "geom_staged",
+    )
+    pre_edges = _edges(spark, ix)
+    assert commit_rebootstrap(spark, str(ix)) is None
+    assert (
+        read_state(spark, str(ix), "geom_staged", GEOM_STAGED_SCHEMA).count()
+        == 0
+    )
+    assert _edges(spark, ix) == pre_edges
+
+    # plant it again: the async trigger must see THROUGH it (growth is
+    # due at factor 1.2 — 90 >= 1.2*30) and stage the real rebuild
+    write_swap(
+        spark,
+        spark.createDataFrame([(0, -1, 8, 30)], GEOM_STAGED_SCHEMA),
+        str(ix),
+        "geom_staged",
+    )
+    # (2) slot-side swap-in-flight debris a background call must not touch
+    debris = str(ix / ".members_old")
+    os.makedirs(debris, exist_ok=True)
+    st = maybe_prepare_rebootstrap(spark, str(ix), 1.2, background=True)
+    assert st is not None and st["geom_gen"] == 1
+    assert os.path.isdir(debris), "background prepare ran recovery"
+    os.rmdir(debris)
+
+    man = read_state(
+        spark, str(ix), "geom_staged", GEOM_STAGED_SCHEMA
+    ).collect()
+    assert len(man) == 1 and int(man[0].geom_gen) == 1
+    done = commit_rebootstrap(spark, str(ix))
+    assert done is not None and done["geom_gen"] == 1
+    assert _edges(spark, ix) == pre_edges

@@ -357,3 +357,152 @@ def test_media_rebootstrap_crash_between_swaps_self_heals(
         ).count()
         == 0
     )
+
+def test_media_rotation_landing_while_bucket_over_ceiling(spark, tmp_path):
+    """Round-12 verdict task 8 — the last untested interaction: a
+    geometry rotation that lands while a signature bucket is OVER
+    BUCKET_CEIL (the full 500-doc corpus ends one bucket at 146 > 128).
+    The rotation re-signs every media (members of the overflowing
+    bucket included) and the post-rotation probes count the bucket's
+    occupancy afresh under the NEW geometry — the combined contract is
+    still the documented one: stream ⊇ the certified batch plan (which
+    prunes the bucket wholly), every extra pair exact-verified, and
+    pre-rotation history untouched."""
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        MEDIA_NEARDUP_MIN_PPM,
+    )
+    from sparkstreamingflume_spark.streaming.media_neardup import (
+        MMETA_SCHEMA,
+        _mgen_of,
+        bootstrap_media_index,
+        commit_media_rebootstrap,
+        maybe_prepare_media_rebootstrap,
+        media_neardup_batch,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    want = _expected_pairs(spark)  # certified batch query, full SF
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    bootstrap_media_index(
+        spark, _media(spark, lo=100, hi=350), str(ix), out_dir=str(out)
+    )
+    media_neardup_batch(_media(spark, hi=100), 0, str(ix), str(out))
+    before = set(_got_pairs(spark, out))
+
+    # the rotation lands HERE: live corpus = ids 0..349, so the new
+    # planes coincide with the batch plan's seeds (ids 0..79), while
+    # the overflow bucket's members are already partly indexed
+    prep = maybe_prepare_media_rebootstrap(spark, str(ix), 1.2)
+    assert prep is not None and prep["geom_gen"] == 1
+    assert commit_media_rebootstrap(spark, str(ix)) is not None
+    assert _mgen_of(read_state(spark, str(ix), "mmeta", MMETA_SCHEMA)) == 1
+
+    media_neardup_batch(_media(spark, lo=350), 1, str(ix), str(out))
+    got = _got_pairs(spark, out)
+    # superset of the batch plan, values exact where shared
+    assert set(got) >= set(want)
+    assert all(got[k] == v for k, v in want.items())
+    # pre-rotation history is never rewritten
+    assert before <= set(got)
+    # the overflow makes extras non-optional, and all are verified
+    extras = set(got) - set(want)
+    assert extras, "the 500-doc corpus is known to cross the ceiling"
+    assert all(got[k] >= MEDIA_NEARDUP_MIN_PPM for k in extras)
+
+
+def test_media_sliced_staging_crawl_matches_one_shot(spark, tmp_path):
+    """Round-12 verdict task 3 — the bounded re-sign: crawling the
+    staging in small slices across repeated maybe_prepare kicks (the
+    soak's background cadence) must produce the IDENTICAL rotated
+    index and post-rotation pairs as the one-shot prepare, with no
+    live state touched and nothing committable until the final slice
+    lands the completion manifest."""
+    from pyspark.sql import functions as FF
+
+    from sparkstreamingflume_spark.streaming.media_neardup import (
+        MGEOM_STAGED_SCHEMA,
+        MMETA_SCHEMA,
+        PLANES_SCHEMA,
+        SIGS_SCHEMA,
+        _mgen_of,
+        bootstrap_media_index,
+        commit_media_rebootstrap,
+        maybe_prepare_media_rebootstrap,
+        media_neardup_batch,
+        prepare_media_rebootstrap,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    sub = _subset_fixture(spark, tmp_path)
+
+    def run(ix, out, sliced):
+        bootstrap_media_index(
+            spark,
+            _media(spark, sub, lo=100, hi=350),
+            str(ix),
+            out_dir=str(out),
+        )
+        media_neardup_batch(_media(spark, sub, hi=100), 0, str(ix), str(out))
+        if sliced:
+            phases = []
+            for _ in range(20):
+                st = maybe_prepare_media_rebootstrap(
+                    spark, str(ix), 1.2, background=True, slice_media=90
+                )
+                assert st is not None, "crawl must not stall mid-staging"
+                phases.append(st["phase"])
+                # mid-staging: live geometry untouched, nothing to commit
+                assert _mgen_of(
+                    read_state(spark, str(ix), "planes", PLANES_SCHEMA)
+                ) == 0
+                if st["phase"] == "final":
+                    break
+                assert commit_media_rebootstrap(spark, str(ix)) is None
+            assert phases[0] == "init" and phases[-1] == "final"
+            assert phases.count("slice") == 4  # ceil(350/90)
+            # staged, awaiting commit: no further prepare fires
+            assert (
+                maybe_prepare_media_rebootstrap(
+                    spark, str(ix), 1.2, background=True, slice_media=90
+                )
+                is None
+            )
+        else:
+            assert prepare_media_rebootstrap(spark, str(ix)) is not None
+        done = commit_media_rebootstrap(spark, str(ix))
+        assert done is not None and done["media"] == 350
+        media_neardup_batch(_media(spark, sub, lo=350), 1, str(ix), str(out))
+        sigs = read_state(spark, str(ix), "sigs", SIGS_SCHEMA)
+        return _got_pairs(spark, out), {
+            tuple(r)
+            for r in sigs.select(
+                "media_id", "band", "band_sig"
+            ).collect()
+        }
+
+    pairs_sliced, sigs_sliced = run(
+        tmp_path / "ix1", tmp_path / "out1", sliced=True
+    )
+    pairs_once, sigs_once = run(
+        tmp_path / "ix2", tmp_path / "out2", sliced=False
+    )
+    assert pairs_sliced == pairs_once
+    assert sigs_sliced == sigs_once
+    # ADVICE r12 #2: plant a stale completion manifest (its gen already
+    # live) — the slot-side commit must self-heal by dropping it, and
+    # the async trigger must not be blocked by it
+    from sparkstreamingflume_spark.streaming.state import write_swap
+
+    ix1 = str(tmp_path / "ix1")
+    write_swap(
+        spark,
+        spark.createDataFrame([(1, 0, 10, 350)], MGEOM_STAGED_SCHEMA),
+        ix1,
+        "mgeom_staged",
+    )
+    assert commit_media_rebootstrap(spark, ix1) is None
+    assert (
+        read_state(spark, ix1, "mgeom_staged", MGEOM_STAGED_SCHEMA).count()
+        == 0
+    )
+    assert _mgen_of(read_state(spark, ix1, "mmeta", MMETA_SCHEMA)) == 1

@@ -899,8 +899,10 @@ def main() -> None:
                 )
                 t0 = time.time()
                 try:
+                    # background=True: no mutating recovery off-slot
+                    # (ADVICE r12 #1 — recovery belongs to the slot)
                     st = KN.maybe_prepare_rebootstrap(
-                        sess, ix_dir, reboot_factor
+                        sess, ix_dir, reboot_factor, background=True
                     )
                 except Exception as e:  # e.g. racing a compaction swap
                     prep_errors.append(f"batch {bid}: {e!r}"[:300])
@@ -1072,6 +1074,15 @@ def main() -> None:
         media_reboot_factor = float(
             os.environ.get("MEDIA_REBOOT_FACTOR", "2.0")
         )
+        # the media prepare's re-sign is CORPUS-sized (unlike knn's
+        # centroid-sized build): slice it so each background kick does
+        # one bounded chunk and the staging crawls across maintenance
+        # intervals (round-12 verdict task 3 — the one-shot build blew
+        # the rotation-concurrent batch to p99 24.9 s > the 20 s
+        # trigger even at FAIR weight 1)
+        media_resign_slice = int(
+            os.environ.get("MEDIA_RESIGN_SLICE", "4000")
+        )
         rebootstraps: list[dict] = []
         prepares: list[dict] = []
         prep_errors: list[str] = []
@@ -1085,7 +1096,11 @@ def main() -> None:
                 t0 = time.time()
                 try:
                     st = MN.maybe_prepare_media_rebootstrap(
-                        sess, ix_dir, media_reboot_factor
+                        sess,
+                        ix_dir,
+                        media_reboot_factor,
+                        background=True,
+                        slice_media=media_resign_slice,
                     )
                 except Exception as e:  # e.g. racing a compaction swap
                     prep_errors.append(f"batch {bid}: {e!r}"[:300])

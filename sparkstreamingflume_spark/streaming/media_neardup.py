@@ -99,8 +99,19 @@ MGEOM_STAGED_SCHEMA = "geom_gen long, wm long, nbits int, n_snapshot long"
 # .sigs_staged; the completion manifest (mgeom_staged) is written only
 # when the cursor runs off the end of the snapshot.
 MGEOM_PROGRESS_SCHEMA = (
-    "geom_gen long, wm long, nbits int, n_snapshot long, last_id long"
+    "geom_gen long, wm long, nbits int, n_snapshot long, last_id long,"
+    " catchup_rounds long"
 )
+# Catch-up staging bound: after the snapshot cursor completes, media
+# that arrived DURING the crawl (batch_id >= wm, not yet staged) are
+# signed in further bounded slices, so the slot-side commit tail stays
+# <= max(slice_media, one interval's arrivals) instead of growing with
+# staging duration x ingest rate. CATCHUP_MAX caps the chase: if after
+# this many rounds the tail still exceeds the slice budget (arrival
+# rate >= staging throughput — the staging can never win), the
+# completion manifest is written anyway and the commit pays the
+# remaining tail in-slot, loudly visible in its returned "tail".
+MEDIA_CATCHUP_MAX = 16
 SIGS_SCHEMA = "media_id long, band int, band_sig long, batch_id long"
 HISTS_SCHEMA = "media_id long, bucket long, cnt long, batch_id long"
 
@@ -625,11 +636,18 @@ def prepare_media_rebootstrap(
       the staged planes, append to ``.sigs_staged`` (anti-joined
       against ids already staged, so a crash between the append and
       the cursor bump re-runs clean), advance the cursor.
-    * FINAL (cursor past the snapshot's last id): write the
-      ``mgeom_staged`` completion manifest, drop the cursor. Only now
-      will :func:`commit_media_rebootstrap` turn the geometry live —
-      media ingested while the staging crawled are the late tail, which
-      the commit already re-signs (``batch_id >= wm``).
+    * CATCHUP (cursor past the snapshot's last id, but more than one
+      slice of NEW media arrived during the crawl): keep signing the
+      late arrivals in bounded slices from the LIVE hists, up to
+      MEDIA_CATCHUP_MAX rounds — otherwise the slot-side commit tail
+      grows with staging duration x ingest rate (measured: an 18k-doc
+      tail after an 8-interval crawl at 100 docs/s).
+    * FINAL (remaining tail fits one slice, or the catch-up cap hit):
+      write the ``mgeom_staged`` completion manifest, drop the cursor.
+      Only now will :func:`commit_media_rebootstrap` turn the geometry
+      live — the (now bounded) residue of media ingested since the
+      last catch-up is the late tail the commit re-signs
+      (``batch_id >= wm``, anti-joined against staged ids).
 
     ``slice_media=None`` runs INIT + one all-remaining slice + FINAL
     in a single call (the offline/test path — bit-identical staged
@@ -688,7 +706,7 @@ def prepare_media_rebootstrap(
         write_swap(
             spark,
             spark.createDataFrame(
-                [(gen_next, wm, nbits, n, -1)], MGEOM_PROGRESS_SCHEMA
+                [(gen_next, wm, nbits, n, -1, 0)], MGEOM_PROGRESS_SCHEMA
             ),
             index_dir,
             "mgeom_progress",
@@ -705,13 +723,14 @@ def prepare_media_rebootstrap(
             spark, index_dir, "mgeom_progress", MGEOM_PROGRESS_SCHEMA
         ).collect()
 
-    # ---- SLICE / FINAL: advance the cursor over the snapshot ----
-    gen_next, wm, nbits, n, last_id = (
+    # ---- SLICE / CATCHUP / FINAL: advance the cursor ----
+    gen_next, wm, nbits, n, last_id, catchup_rounds = (
         int(prog[0].geom_gen),
         int(prog[0].wm),
         int(prog[0].nbits),
         int(prog[0].n_snapshot),
         int(prog[0].last_id),
+        int(prog[0].catchup_rounds or 0),
     )
     snap_df = spark.read.schema(HISTS_SCHEMA).parquet(snap)
     staged_p = spark.read.schema(PLANES_SCHEMA).parquet(planes_staged)
@@ -727,8 +746,78 @@ def prepare_media_rebootstrap(
     slice_ids = slice_ids.persist()
     n_slice = slice_ids.count()
     if n_slice == 0:
-        # ---- FINAL: staging complete -> completion manifest ----
         slice_ids.unpersist()
+        # ---- CATCHUP: chase media that arrived during the crawl, so
+        # the commit's in-slot tail stays bounded (it grew to staging
+        # duration x rate otherwise — the mechanism that re-blew the
+        # trigger after the snapshot slicing landed). Reads LIVE hists
+        # (the snapshot predates these rows); a compaction swap racing
+        # this read fails the kick, which simply retries next slot.
+        if slice_media is not None and catchup_rounds < MEDIA_CATCHUP_MAX:
+            live = read_state(spark, index_dir, "hists", HISTS_SCHEMA)
+            already = (
+                spark.read.schema(SIGS_SCHEMA)
+                .parquet(sigs_staged)
+                .select("media_id")
+                .distinct()
+            )
+            catch_ids = (
+                live.filter(F.col("batch_id") >= F.lit(wm))
+                .select("media_id")
+                .distinct()
+                .join(already, "media_id", "left_anti")
+                .persist()
+            )
+            n_catch = catch_ids.count()
+            if n_catch > slice_media:
+                ids = catch_ids.orderBy("media_id").limit(slice_media)
+                ch = (
+                    live.join(ids, "media_id", "leftsemi")
+                    # the commit's tail collapse, verbatim
+                    .groupBy("media_id", "bucket")
+                    .agg(
+                        F.first("cnt").alias("cnt"),
+                        F.min("batch_id").alias("batch_id"),
+                    )
+                )
+                bid = ch.groupBy("media_id").agg(
+                    F.min("batch_id").alias("batch_id")
+                )
+                _sign(
+                    ch.select("media_id", "bucket", "cnt"), staged_p, nbits
+                ).join(bid, "media_id").write.mode("append").parquet(
+                    sigs_staged
+                )
+                catch_ids.unpersist()
+                write_swap(
+                    spark,
+                    spark.createDataFrame(
+                        [
+                            (
+                                gen_next,
+                                wm,
+                                nbits,
+                                n,
+                                last_id,
+                                catchup_rounds + 1,
+                            )
+                        ],
+                        MGEOM_PROGRESS_SCHEMA,
+                    ),
+                    index_dir,
+                    "mgeom_progress",
+                )
+                return {
+                    "phase": "catchup",
+                    "geom_gen": gen_next,
+                    "nbits": nbits,
+                    "n_snapshot": n,
+                    "wm": wm,
+                    "slice": min(slice_media, n_catch),
+                    "catchup_left": n_catch - min(slice_media, n_catch),
+                }
+            catch_ids.unpersist()
+        # ---- FINAL: staging complete -> completion manifest ----
         write_swap(
             spark,
             spark.createDataFrame(
@@ -770,7 +859,7 @@ def prepare_media_rebootstrap(
     write_swap(
         spark,
         spark.createDataFrame(
-            [(gen_next, wm, nbits, n, int(hi))], MGEOM_PROGRESS_SCHEMA
+            [(gen_next, wm, nbits, n, int(hi), 0)], MGEOM_PROGRESS_SCHEMA
         ),
         index_dir,
         "mgeom_progress",

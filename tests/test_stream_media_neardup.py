@@ -506,3 +506,72 @@ def test_media_sliced_staging_crawl_matches_one_shot(spark, tmp_path):
         == 0
     )
     assert _mgen_of(read_state(spark, ix1, "mmeta", MMETA_SCHEMA)) == 1
+
+def test_media_staging_catchup_bounds_the_commit_tail(spark, tmp_path):
+    """Media that arrive WHILE the sliced staging crawls must be
+    absorbed by background CATCHUP slices, leaving the in-slot commit
+    only a sub-slice residue (the unsliced design measured an 18k-doc
+    tail after an 8-interval crawl — the tail grew with staging
+    duration x rate). Also pins: the catch-up geometry equals the
+    one-shot synchronous rebuild's bit-for-bit."""
+    from pyspark.sql import functions as FF
+
+    from sparkstreamingflume_spark.streaming.media_neardup import (
+        SIGS_SCHEMA,
+        bootstrap_media_index,
+        commit_media_rebootstrap,
+        maybe_prepare_media_rebootstrap,
+        media_neardup_batch,
+        rebootstrap_media_index,
+    )
+    from sparkstreamingflume_spark.streaming.state import read_state
+
+    sub = _subset_fixture(spark, tmp_path)
+
+    def ingest(ix, out):
+        bootstrap_media_index(
+            spark,
+            _media(spark, sub, lo=100, hi=350),
+            str(ix),
+            out_dir=str(out),
+        )
+        media_neardup_batch(_media(spark, sub, hi=100), 0, str(ix), str(out))
+
+    ix, out = tmp_path / "ix", tmp_path / "out"
+    ingest(ix, out)
+    phases = []
+    mid_batch_done = False
+    for _ in range(40):
+        st = maybe_prepare_media_rebootstrap(
+            spark, str(ix), 1.2, background=True, slice_media=30
+        )
+        assert st is not None, "crawl must not stall mid-staging"
+        phases.append(st["phase"])
+        if st["phase"] == "final":
+            break
+        if len(phases) == 3 and not mid_batch_done:
+            # 50 new media land mid-crawl (ids 350..400)
+            media_neardup_batch(
+                _media(spark, sub, lo=350), 1, str(ix), str(out)
+            )
+            mid_batch_done = True
+    assert phases[-1] == "final"
+    n_catch = phases.count("catchup")
+    assert n_catch == 1, phases  # 50 arrivals: one 30-slice, 20 residue
+    done = commit_media_rebootstrap(spark, str(ix))
+    assert done is not None and done["media"] == 400
+    assert done["tail"] == 20  # the residue, not the full 50
+
+    # geometry parity: an identical corpus rebuilt one-shot must sign
+    # identically (planes depend only on live hists content)
+    ix2, out2 = tmp_path / "ix2", tmp_path / "out2"
+    ingest(ix2, out2)
+    media_neardup_batch(_media(spark, sub, lo=350), 1, str(ix2), str(out2))
+    rebootstrap_media_index(spark, str(ix2))
+    sig_of = lambda ixp: {
+        tuple(r)
+        for r in read_state(spark, str(ixp), "sigs", SIGS_SCHEMA)
+        .select("media_id", "band", "band_sig")
+        .collect()
+    }
+    assert sig_of(ix) == sig_of(ix2)

@@ -1,0 +1,66 @@
+#!/bin/bash
+# Parallel test-suite runner — round-13 rebalance (round-12 verdict
+# task 7: the old shard 6 held ALL Python-stateful stream twins and
+# dominated at ~23 min of the 23-min wall; they are now split across
+# three shards, targeting max-shard <= ~15 min at the same green count).
+#
+# Invariants encoded here:
+# * conftest pins local[4], so 8 shards saturate the 32-core box.
+# * Each shard gets its OWN SPARK_GRAFT_GRAPH_DIR — the materialize_
+#   knn_graph cache is swap-unsafe across concurrent sessions.
+# * test_semantic_dedup + test_oracle_extras (+ the other cache
+#   consumers) share ONE shard so the build-once cache is built once
+#   and never raced.
+# * The script FAILS if a tests/test_*.py file is unassigned — new
+#   test files must be placed here deliberately, never silently run
+#   nowhere.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${SHARD_OUT:-/tmp/shards}
+mkdir -p "$OUT"
+
+declare -A GROUP
+GROUP[1]="test_stateful test_stream_scd2 test_stream_sessions"
+GROUP[2]="test_stream_funnel test_stream_retention test_stream_transitions"
+GROUP[3]="test_stream_funnels_fb test_stream_retentions_fb test_stream_transitions_fb test_stream_regimes test_stream_hll"
+GROUP[4]="test_stream_knn test_stream_dedup test_stream_join test_state_index"
+GROUP[5]="test_stream_media_neardup test_multimodal test_stream_neardup"
+GROUP[6]="test_semantic_dedup test_oracle_extras test_index_overlap test_incremental_dedup"
+GROUP[7]="test_streaming test_stream_overlap test_stream_quantile test_stream_drift test_stream_sketch test_rollup_sink test_sinks test_ftp_sink"
+GROUP[8]="test_contract test_approx test_sketch_search test_dedup_skew test_hdr_bloom_pins test_null_corpus test_empty_inputs test_bucketing test_block_scrub test_prefix_filter test_fixture_tripwire test_resample test_windowed test_text_properties test_schemas test_lines"
+
+# completeness check: every test file must be assigned exactly once
+assigned=$(for i in "${!GROUP[@]}"; do echo ${GROUP[$i]}; done | tr ' ' '\n' | sort)
+actual=$(ls tests/test_*.py | xargs -n1 basename | sed 's/\.py$//' | sort)
+if [ "$assigned" != "$actual" ]; then
+  echo "SHARD MAP OUT OF DATE — diff (assigned vs tests/):" >&2
+  diff <(echo "$assigned") <(echo "$actual") >&2
+  exit 2
+fi
+
+for i in 1 2 3 4 5 6 7 8; do
+  files=""
+  for f in ${GROUP[$i]}; do files="$files tests/$f.py"; done
+  (
+    export SPARK_GRAFT_GRAPH_DIR="$OUT/graph_$i"
+    rm -rf "$SPARK_GRAFT_GRAPH_DIR"
+    t0=$(date +%s)
+    python -m pytest -q $files >"$OUT/out_$i.txt" 2>&1
+    rc=$?
+    echo "exit=$rc wall=$(( $(date +%s) - t0 ))s" >>"$OUT/out_$i.txt"
+  ) &
+done
+wait
+echo "---- shard summary ----"
+total_pass=0; bad=0
+for i in 1 2 3 4 5 6 7 8; do
+  line=$(grep -E "passed|failed|error" "$OUT/out_$i.txt" | tail -1)
+  wall=$(grep -oE "wall=[0-9]+s" "$OUT/out_$i.txt" | tail -1)
+  rc=$(grep -oE "exit=[0-9]+" "$OUT/out_$i.txt" | tail -1)
+  echo "shard $i: $line ($wall, $rc)"
+  p=$(echo "$line" | grep -oE "[0-9]+ passed" | grep -oE "[0-9]+" || echo 0)
+  total_pass=$((total_pass + p))
+  [ "$rc" != "exit=0" ] && bad=1
+done
+echo "TOTAL PASSED: $total_pass"
+exit $bad

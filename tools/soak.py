@@ -1135,16 +1135,22 @@ def main() -> None:
                         "rows": {k: list(v) for k, v in st.items()},
                     }
                 )
-                t0 = time.time()
-                rb = MN.commit_media_rebootstrap(b.sparkSession, ix_dir)
-                if rb is not None:
-                    rebootstraps.append(
-                        {
-                            "batch_id": bid,
-                            "secs": round(time.time() - t0, 2),
-                            **rb,
-                        }
-                    )
+            # commit EVERY batch, not just compaction slots: it is a
+            # no-op read when nothing is staged, and renames + a
+            # bounded tail when a staging completed — so the commit
+            # never stacks on top of a compaction in the same slot
+            # (measured: ingest + compaction + an unbounded-tail
+            # commit in one slot = the 44.5 s round-13 batch)
+            t0 = time.time()
+            rb = MN.commit_media_rebootstrap(b.sparkSession, ix_dir)
+            if rb is not None:
+                rebootstraps.append(
+                    {
+                        "batch_id": bid,
+                        "secs": round(time.time() - t0, 2),
+                        **rb,
+                    }
+                )
             th = prep_thread[0]
             if th is None or not th.is_alive():
                 _kick_media_prepare(b.sparkSession, bid)

@@ -448,8 +448,16 @@ def media_neardup_batch(
     )
     sig = _sign(hist, planes, nbits).persist()
 
-    prior_sigs = read_state(spark, index_dir, "sigs", SIGS_SCHEMA).filter(
-        F.col("batch_id") < F.lit(int(batch_id))
+    # only buckets the CURRENT batch signs into can produce candidates,
+    # so the prior index is narrowed to those buckets FIRST — the
+    # occupancy shuffle and the prior probe side are O(batch-touched
+    # rows), not O(index) (measured: the full-index form made plain
+    # ingest batches track corpus growth toward the 20 s trigger)
+    touched = sig.select("band", "band_sig").distinct()
+    prior_sigs = (
+        read_state(spark, index_dir, "sigs", SIGS_SCHEMA)
+        .filter(F.col("batch_id") < F.lit(int(batch_id)))
+        .join(touched, ["band", "band_sig"], "leftsemi")
     )
     # probe-time bucket occupancy = prior index MEMBERS + this batch's
     # in the bucket; over the ceiling -> dropped, never enumerated.
@@ -467,6 +475,7 @@ def media_neardup_batch(
         .agg(F.count("*").alias("bsz_"))
         .filter(F.col("bsz_") <= ceil_)
         .select("band", "band_sig")
+        .persist()  # two consumers (batch + prior probe sides)
     )
     sig_ok = sig.join(occ, ["band", "band_sig"], "leftsemi")
     prior_ok = prior_sigs.join(occ, ["band", "band_sig"], "leftsemi")
@@ -536,6 +545,7 @@ def media_neardup_batch(
     hist.unpersist()
     cand.unpersist()
     all_hists.unpersist()
+    occ.unpersist()
 
 
 def attach_media_neardup(

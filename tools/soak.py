@@ -1022,7 +1022,7 @@ def main() -> None:
                 payload.alias("payload"),
             )
 
-        n_boot = 20_000
+        n_boot = int(os.environ.get("MEDIA_BOOT_N", "20000"))
         boot = media_frame(
             spark.range(n_boot).select(
                 F.col("id"),
@@ -1152,7 +1152,12 @@ def main() -> None:
                     }
                 )
             th = prep_thread[0]
-            if th is None or not th.is_alive():
+            # skip the kick when the NEXT batch owns a compaction slot:
+            # a background slice overlapping a compaction batch stacks
+            # 5+7 s of maintenance on one trigger (measured 22.5 s)
+            if (th is None or not th.is_alive()) and (
+                (bid + 1) % compact_every != 0
+            ):
                 _kick_media_prepare(b.sparkSession, bid)
 
         q = (

@@ -20,14 +20,14 @@ OUT=${SHARD_OUT:-/tmp/shards}
 mkdir -p "$OUT"
 
 declare -A GROUP
-GROUP[1]="test_stateful test_stream_scd2 test_stream_sessions"
-GROUP[2]="test_stream_funnel test_stream_retention test_stream_transitions"
-GROUP[3]="test_stream_funnels_fb test_stream_retentions_fb test_stream_transitions_fb test_stream_regimes test_stream_hll"
+GROUP[1]="test_stateful test_stream_scd2 test_stream_sessions test_approx"
+GROUP[2]="test_stream_funnel test_stream_retention test_stream_transitions test_sketch_search"
+GROUP[3]="test_stream_funnels_fb test_stream_retentions_fb test_stream_transitions_fb test_stream_regimes test_stream_hll test_stream_neardup"
 GROUP[4]="test_stream_knn test_stream_dedup test_stream_join test_state_index"
-GROUP[5]="test_stream_media_neardup test_multimodal test_stream_neardup"
+GROUP[5]="test_stream_media_neardup test_multimodal"
 GROUP[6]="test_semantic_dedup test_oracle_extras test_index_overlap test_incremental_dedup"
-GROUP[7]="test_streaming test_stream_overlap test_stream_quantile test_stream_drift test_stream_sketch test_rollup_sink test_sinks test_ftp_sink"
-GROUP[8]="test_contract test_approx test_sketch_search test_dedup_skew test_hdr_bloom_pins test_null_corpus test_empty_inputs test_bucketing test_block_scrub test_prefix_filter test_fixture_tripwire test_resample test_windowed test_text_properties test_schemas test_lines"
+GROUP[7]="test_streaming test_stream_overlap test_stream_quantile test_stream_drift test_stream_sketch test_rollup_sink test_sinks test_ftp_sink test_dedup_skew test_contract"
+GROUP[8]="test_hdr_bloom_pins test_null_corpus test_empty_inputs test_bucketing test_block_scrub test_prefix_filter test_fixture_tripwire test_resample test_windowed test_text_properties test_schemas test_lines"
 
 # completeness check: every test file must be assigned exactly once
 assigned=$(for i in "${!GROUP[@]}"; do echo ${GROUP[$i]}; done | tr ' ' '\n' | sort)

@@ -65,18 +65,24 @@ def _cdr_lines(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFram
     The corpus feeds CPU-bound per-row chains (44-way split, md5 masks),
     so the scan is widened to cluster width when the parquet layout is
     single-row-group-narrow (see session.widen_if_narrow: a no-op on
-    real row-group-per-128MB tables). Consumers whose FIRST operation is
-    a cheap shuffle aggregation pass ``widen=False``: for them the extra
-    round-robin exchange of full lines costs more than the parallelism
-    buys (q_group_concat measured 1.26 -> 0.93 s at sf0.1 without it —
-    the same effect that keeps the exact-dedup/corpus-funnel document
-    scans narrow, see plans/extension_queries.py).
+    real row-group-per-128MB tables). Round 13: the widen HASH-partitions
+    on (l_orderkey, l_linenumber) — the keyless round-robin form paid a
+    single-threaded sort of the whole narrow scan (sortBeforeRepartition)
+    measured as ~half of q_gprs_pipeline's wall (2.35 -> 1.16 s med at
+    sf0.1, interleaved A/B). Consumers whose first operation collapses or
+    re-partitions rows anyway AND whose pre-shuffle work is cheap pass
+    ``widen=False`` — for them even the hash exchange is pure overhead
+    (round-13 A/B, med: q_count_by_type 0.41 narrow vs 0.66 widened,
+    q_union 0.54 vs 0.65, q_count_by_type_salted 0.43 vs 0.98).
+    q_cluster_sort is the counterexample that proves the rule: its
+    window re-partitions by rec_type, but the full line is SYNTHESIZED
+    before that exchange, so widening still won 1.72 -> 1.21 med.
     """
     from sparkstreamingflume_spark.session import widen_if_narrow
 
     li = load_table(spark, sf_dir, "lineitem")
     if widen:
-        li = widen_if_narrow(li)
+        li = widen_if_narrow(li, cols=["l_orderkey", "l_linenumber"])
     rec_type = (F.lit(60) + F.col("l_orderkey") % 11).cast("string")
     base = F.concat_ws(
         "|",
@@ -102,8 +108,20 @@ def _cdr_lines(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFram
     )
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+def _events(spark: SparkSession, sf_dir: str, widen: bool = False) -> DataFrame:
+    """``widen=True`` consumers run a CPU-bearing per-row chain (md5
+    mask after a broadcast probe) straight off the narrow single-row-
+    group fixture scan; the hash widen on event_id parallelizes it
+    (q_broadcast_join 0.56 -> 0.48 s med at sf0.1, round-13 A/B) and is
+    a no-op on real row-group-per-128MB tables. Aggregation-first
+    consumers stay narrow — their partial agg collapses rows before any
+    exchange, so widening only adds a shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    if widen:
+        from sparkstreamingflume_spark.session import widen_if_narrow
+
+        ev = widen_if_narrow(ev, cols=["event_id"])
+    return ev
 
 
 # Restricted enrichment dim: drop every third customer so inner-vs-left join
@@ -387,7 +405,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, widen=True)
     dim = _dim(spark, sf_dir)
     return ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner").select(
         "event_id",
@@ -412,7 +430,7 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "J2"),
 )
 def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, widen=True)
     dim = _dim(spark, sf_dir)
     return ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left").select(
         "event_id",
@@ -497,7 +515,13 @@ def q_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir, widen=False)
+    # widen=True since round 13: with the HASH widen (no line column —
+    # Catalyst prunes it, so the exchange ships two longs) the partial
+    # collect_list runs cluster-wide instead of on the one narrow scan
+    # task; measured 1.24 -> 0.86 s med at sf0.1 (interleaved A/B). The
+    # old round-robin widen shipped full lines through a sorted
+    # exchange and lost (1.26 vs 0.93 narrow, round-8 note).
+    df = _cdr_lines(spark, sf_dir)
     item = F.concat_ws("-", "l_orderkey", "l_linenumber")
     return df.groupBy("rec_type").agg(
         F.array_join(F.array_sort(F.collect_list(item)), ",").alias("payload")
@@ -619,9 +643,12 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # widen=False: the window's rec_type shuffle re-partitions anyway
-    # (measured 1.21 -> 1.02 s)
-    df = _cdr_lines(spark, sf_dir, widen=False)
+    # widen=True since round 13: the window's rec_type shuffle
+    # re-partitions anyway, but line SYNTHESIS runs before it — on the
+    # narrow fixture scan that serialized the concat chain on one task
+    # (hash-widen A/B: 1.72 -> 1.21 s med; the round-robin widen this
+    # comment once rejected cost 1.21 vs 1.02 because of its sort).
+    df = _cdr_lines(spark, sf_dir)
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
     # the full line is the final tie-break so rank order is deterministic.
     w = Window.partitionBy("rec_type").orderBy("l_orderkey", "l_linenumber", "line")
@@ -665,9 +692,9 @@ _SORT_BUCKET_W = 500
 def q_cluster_sort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # widen=False, same reasoning as q_cluster_sort: the (rec_type,
-    # bucket) window shuffle re-partitions anyway
-    df = _cdr_lines(spark, sf_dir, widen=False)
+    # widen=True, same reasoning as q_cluster_sort (line synthesis runs
+    # before the window exchange)
+    df = _cdr_lines(spark, sf_dir)
     bucket = F.floor(F.col("l_orderkey") / _SORT_BUCKET_W).cast("long")
     w = Window.partitionBy("rec_type", "bucket").orderBy(
         "l_orderkey", "l_linenumber", "line"

@@ -107,18 +107,28 @@ _SH = shingles_sql("text")
 _TOK = "string_split(text, ' ')"
 
 
-# NOT widened (unlike _cdr_lines): measured at sf0.1, the blanket
-# widen_if_narrow repartition won on the CPU-heavy explode chains
-# (minhash 1.36->1.16 s, topk 0.51->0.43 s) but cost more on the
-# cheap-aggregate queries whose first op is already a shuffle-agg
-# (exact dedup 0.23->0.72 s, corpus funnel 0.65->1.13 s): the extra
-# round-robin exchange of full document text dominates. Net bench
-# 8.7->9.3 s, so these stay narrow; the line corpus keeps its widen
-# where the md5x4 chain made it a 3.2 s win.
+# _docs is NOT widened by default: measured at sf0.1, widening cost
+# more on the cheap-aggregate queries whose first op is already a
+# shuffle-agg (exact dedup 0.23->0.72 s, corpus funnel 0.65->1.13 s) —
+# the extra exchange of full document text dominates when the partial
+# agg would have collapsed rows before any shuffle. The CPU-heavy
+# explode chains (shingle/minhash/simhash) are the opposite case: the
+# single-row-group fixture scan serializes the whole explode+md5 chain
+# on ONE task, so they take ``wide=True`` — a HASH widen on doc_id
+# (deterministic, sort-free; see session.widen_if_narrow round-13 note)
+# that is a no-op on real row-group-per-128MB tables. Round-13
+# interleaved A/B at sf0.1: q_dedup_ngram_jaccard 3.18 -> 2.13 s med,
+# q_dedup_minhash 2.05 -> 1.65 (with the collect pair-gen below),
+# q_embed_topk 0.85 -> 0.64 via the same widen on embeddings.
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    if wide:
+        from sparkstreamingflume_spark.session import widen_if_narrow
+
+        d = widen_if_narrow(d, cols=["doc_id"])
+    return d
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +506,7 @@ def q_dedup_block_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    card, common = _shingle_card_common(_docs(spark, sf_dir))
+    card, common = _shingle_card_common(_docs(spark, sf_dir, wide=True))
     ca, cb = card.alias("ca"), card.alias("cb")
     jac = F.col("n_common") * 1_000_000.0 / (
         F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
@@ -538,7 +548,7 @@ CONTAIN_MIN_PPM = 100_000  # 10% one-sided overlap
     extra=True,
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    card, common = _shingle_card_common(_docs(spark, sf_dir))
+    card, common = _shingle_card_common(_docs(spark, sf_dir, wide=True))
     ca, cb = card.alias("ca"), card.alias("cb")
     cont_a = F.col("n_common") * 1_000_000.0 / F.col("ca.n_sh")
     cont_b = F.col("n_common") * 1_000_000.0 / F.col("cb.n_sh")
@@ -752,21 +762,28 @@ _BANDS_PRUNED_SQL = f"""bprune AS (
     """,
     doc="Near-dup candidates via MinHash + LSH banding: 16 md5-derived "
     "permutations -> 4 bands of 4 rows -> docs sharing any band bucket "
-    "become a candidate pair. Spark shape: explode shingles ONCE, compute "
-    "the 16 permutation hashes as flat columns (whole-stage codegen — "
-    "nested transform() lambdas fall back to interpreted eval, measured "
-    "40x slower), then a map-side-combinable min() aggregation builds "
-    "signatures. The candidate join key is (band, band_hash) — bucket "
-    "cardinality, not doc² — and buckets over BUCKET_CEIL are dropped "
-    "before the self-join per the recall contract (the count-window "
-    "prune leaves the frame hash-partitioned by bucket key, so the "
-    "self-join reuses that one exchange, mirroring the ngram family). "
+    "become a candidate pair. Spark shape: explode shingles ONCE (the "
+    "scan hash-widened on doc_id — the narrow fixture scan serialized "
+    "the whole chain on one task), compute the 16 permutation hashes as "
+    "flat columns (whole-stage codegen — nested transform() lambdas "
+    "fall back to interpreted eval, measured 40x slower), then a "
+    "map-side-combinable min() aggregation builds signatures. Buckets "
+    "over BUCKET_CEIL are dropped by the count-window prune per the "
+    "recall contract; pairs are then enumerated IN-PARTITION — "
+    "collect_list per (band, band_hash) on the window's own exchange "
+    "(arrays bounded by BUCKET_CEIL, so agg memory is capped by the "
+    "same contract that caps pair output) and a double explode with "
+    "doc_a < doc_b. Round 13: this replaced the bucket self-join, "
+    "whose build side Catalyst turned into a BROADCAST that re-ran the "
+    "entire sig pipeline a second time (plans/r13/"
+    "q_dedup_minhash_before.txt scans documents twice; _after.txt "
+    "once — 2.05 -> 1.65 s med at sf0.1 with the widen). "
     "A verify pass (q_dedup_ngram_jaccard on candidates only) confirms.",
     tags=("dedup",),
     bench=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
+    d = _docs(spark, sf_dir, wide=True).filter(F.size(tokens("text")) >= 3)
     bands = _minhash_bands(d)
     bw = Window.partitionBy("b", "band_hash")
     bands = (
@@ -774,17 +791,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bsz_") <= BUCKET_CEIL)
         .drop("bsz_")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = bands.groupBy("b", "band_hash").agg(
+        F.collect_list("doc_id").alias("docs")
     )
+    pairs = (
+        buckets.select(F.explode("docs").alias("da"), "docs")
+        .select("da", F.explode("docs").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+    )
+    return pairs.select(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+    ).distinct()
 
 
 _BITSUM_SQL = ", ".join(
@@ -872,8 +889,19 @@ def _emb_valid(df: DataFrame) -> DataFrame:
 
 
 def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, emb double[], norm) — the shared similarity input."""
-    e = _emb_valid(_embs(spark, sf_dir)).select(
+    """(vec_id, emb double[], norm) — the shared similarity input.
+
+    Hash-widened on vec_id (round 13): every consumer runs per-row dot
+    products (higher-order zip_with/aggregate — JVM but interpreted, the
+    CPU-heavy part) straight off the narrow single-row-group fixture
+    scan; the widen parallelizes that chain (q_embed_topk 0.85 -> 0.64 s
+    med at sf0.1, A/B) and — because it hash-partitions on vec_id — any
+    downstream join/agg keyed on vec_id reuses the exchange. No-op on
+    real row-group-per-128MB tables (see session.widen_if_narrow).
+    """
+    from sparkstreamingflume_spark.session import widen_if_narrow
+
+    e = _emb_valid(widen_if_narrow(_embs(spark, sf_dir), cols=["vec_id"])).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     dot_self = F.aggregate(

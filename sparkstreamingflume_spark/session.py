@@ -193,7 +193,7 @@ def _estimated_scan_tasks(df) -> int | None:
     return max(1, -(-total // mpb))
 
 
-def widen_if_narrow(df, min_partitions: int | None = None):
+def widen_if_narrow(df, min_partitions: int | None = None, cols: list[str] | None = None):
     """Repartition ``df`` up to the cluster width IF its scan is narrower.
 
     Parquet scan parallelism is bounded by row-group count: a table
@@ -204,8 +204,21 @@ def widen_if_narrow(df, min_partitions: int | None = None):
     100 TB table carries a row group per ~128 MB, the scan is already
     ≥ cluster-width, the guard is false, and this is a NO-OP — so the
     shuffle exists only where the input is pathologically narrow, never
-    at scale. Round-robin repartition: row-order-independent results
-    only (every certified query compares order-insensitively).
+    at scale.
+
+    ``cols``: when the caller names high-cardinality deterministic
+    column(s), the widen HASH-partitions on them instead of round-robin.
+    Keyless ``repartition(n)`` first pays a LOCAL SORT of its input
+    (``spark.sql.execution.sortBeforeRepartition``, on since SPARK-23207
+    so retried tasks reproduce the same row placement) — on the one
+    narrow scan task that sort is single-threaded and was measured as
+    ~half of q_gprs_pipeline's wall at sf0.1 (2.35 → 1.16 s med going
+    hash; OPTIMIZATION_r13.md). Hash on a named key needs no sort and
+    stays deterministic under task retry (guide §2.5: never derive a
+    synthetic key from rand()). Callers must pick keys with far more
+    distinct values than partitions (natural row ids here). Without
+    ``cols`` the round-robin form remains (row-order-independent
+    results only — every certified query compares order-insensitively).
 
     The narrowness probe is a size estimate over the scan's file list
     (no extra planning pass); only non-file frames pay the exact
@@ -217,5 +230,5 @@ def widen_if_narrow(df, min_partitions: int | None = None):
     if width is None:
         width = df.rdd.getNumPartitions()
     if width < max(2, want // 2):
-        return df.repartition(want)
+        return df.repartition(want, *cols) if cols else df.repartition(want)
     return df

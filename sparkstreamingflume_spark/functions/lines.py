@@ -54,6 +54,29 @@ def line_fields(line: Column | str, sep: str = "|") -> Column:
     return F.split(F.regexp_replace(_col(line), f"{sep_re}+\\z", ""), sep_re)
 
 
+# The *_arr forms take an ALREADY-SPLIT field array instead of the raw
+# line. Query builders stage the split once (functions/barrier.py
+# stage_columns) and feed the staged column here: Catalyst's
+# subexpression elimination does NOT hoist a split referenced from
+# under CASE WHEN branches (conditional subexpressions are excluded
+# from CSE), so the line-based forms re-evaluated the split per field
+# reference. Round-13 measurements at sf0.1: q_project_44to10 3.38 ->
+# 0.80 s med (11 splits -> 1, plans/r13), q_dirty_filter 5.30 -> 0.82
+# (here the win is PLACEMENT: the bare width filter was pushed below
+# the widen exchange onto the single narrow scan task — the anchored
+# staged filter stays above it), q_field_extract 1.25 -> 0.86
+# interleaved A/B (2 splits -> 1). The single-reference mask/drop ops
+# measure ~neutral under staging (mask1 1.35 -> 1.16, mask3 1.30 ->
+# 1.28 A/B — transform() already referenced the split once); they use
+# the staged form anyway for uniformity of the family's plan shape.
+# The line-based forms remain for one-shot use and tests.
+
+
+def field_extract_arr(arr: Column, index: int) -> Column:
+    """P3 over a staged field array — see :func:`field_extract`."""
+    return F.when(F.size(arr) > index, arr[index]).otherwise(F.lit(ERROR_SENTINEL))
+
+
 def field_extract(line: Column | str, index: int, sep: str = "|") -> Column:
     """P3 — field at ``index`` (0-based); out of range -> ``'ERROR'``.
 
@@ -62,8 +85,7 @@ def field_extract(line: Column | str, index: int, sep: str = "|") -> Column:
     an off-by-one, SURVEY.md §2.8) — we implement the *effective* behavior:
     ``size(arr) > index ? arr[index] : 'ERROR'``.
     """
-    arr = line_fields(line, sep)
-    return F.when(F.size(arr) > index, arr[index]).otherwise(F.lit(ERROR_SENTINEL))
+    return field_extract_arr(line_fields(line, sep), index)
 
 
 def mask_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> Column:
@@ -74,8 +96,12 @@ def mask_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> C
     single indexed ``transform`` replaces the reference's fold of repeated
     split/rebuild passes (src/DesenPross.scala:146-153).
     """
+    return mask_fields_arr(line_fields(line, sep), indices, sep)
+
+
+def mask_fields_arr(arr: Column, indices: Iterable[int], sep: str = "|") -> Column:
+    """P4/P5 over a staged field array — see :func:`mask_fields`."""
     idx = list(indices)
-    arr = line_fields(line, sep)
     masked = F.transform(arr, lambda x, i: F.when(i.isin(idx), F.md5(x)).otherwise(x))
     return F.array_join(masked, sep)
 
@@ -87,8 +113,12 @@ def drop_fields(line: Column | str, indices: Iterable[int], sep: str = "|") -> C
     compensation (src/DesenPross.scala:162, SURVEY.md §2.8) is unnecessary
     when all drops happen in one pass.
     """
+    return drop_fields_arr(line_fields(line, sep), indices, sep)
+
+
+def drop_fields_arr(arr: Column, indices: Iterable[int], sep: str = "|") -> Column:
+    """P6/P7 over a staged field array — see :func:`drop_fields`."""
     idx = list(indices)
-    arr = line_fields(line, sep)
     kept = F.filter(arr, lambda x, i: ~i.isin(idx))
     return F.array_join(kept, sep)
 
@@ -106,8 +136,14 @@ def project_fields(
     raises under Spark 4 ANSI mode), and the width guard makes short lines
     map to the empty string.
     """
+    return project_fields_arr(line_fields(line, sep), indices, sep, n_fields)
+
+
+def project_fields_arr(
+    arr: Column, indices: Iterable[int], sep: str = "|", n_fields: int | None = None
+) -> Column:
+    """P8 over a staged field array — see :func:`project_fields`."""
     idx = list(indices)
-    arr = line_fields(line, sep)
     projected = F.concat_ws(sep, *[F.get(arr, i) for i in idx])
     guard = F.size(arr) == n_fields if n_fields is not None else F.size(arr) > max(idx)
     return F.when(guard, projected).otherwise(F.lit(""))

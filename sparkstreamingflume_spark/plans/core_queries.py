@@ -108,6 +108,20 @@ def _cdr_lines(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFram
     )
 
 
+def _stage_arr(df: DataFrame) -> DataFrame:
+    """Stage the 44-way split once behind the optimizer barrier
+    (functions/barrier.py) — the shared prologue of the line-op family.
+    Without it the split re-evaluates per field reference (CSE skips
+    conditional subexpressions) and filters over it get pushed below
+    the widen exchange onto the single narrow scan task (round-13
+    measurements in functions/lines.py)."""
+    from sparkstreamingflume_spark.functions.barrier import stage_columns
+
+    return stage_columns(
+        df, ["l_orderkey", "l_linenumber", "line"], _arr=L.line_fields("line")
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str, widen: bool = False) -> DataFrame:
     """``widen=True`` consumers run a CPU-bearing per-row chain (md5
     mask after a broadcast probe) straight off the narrow single-row-
@@ -222,11 +236,15 @@ def q_filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _cdr_lines(spark, sf_dir)
-    return df.select(
+    # Split staged once (functions/barrier.py): both extracts read the
+    # staged array — the line-based form re-split per extract because
+    # CSE skips subexpressions under CASE WHEN branches (lines.py note).
+    staged = _stage_arr(df)
+    return staged.select(
         "l_orderkey",
         "l_linenumber",
-        L.field_extract("line", 5).alias("f5"),
-        L.field_extract("line", 50).alias("f_oob"),
+        L.field_extract_arr(F.col("_arr"), 5).alias("f5"),
+        L.field_extract_arr(F.col("_arr"), 50).alias("f_oob"),
     )
 
 
@@ -247,9 +265,11 @@ def q_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_md5_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
-    return df.select(
-        "l_orderkey", "l_linenumber", L.mask_fields("line", [1]).alias("masked")
+    staged = _stage_arr(_cdr_lines(spark, sf_dir))
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        L.mask_fields_arr(F.col("_arr"), [1]).alias("masked"),
     )
 
 
@@ -267,9 +287,11 @@ def q_md5_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("transform", "P5"),
 )
 def q_md5_mask_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
-    return df.select(
-        "l_orderkey", "l_linenumber", L.mask_fields("line", [1, 2, 5]).alias("masked")
+    staged = _stage_arr(_cdr_lines(spark, sf_dir))
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        L.mask_fields_arr(F.col("_arr"), [1, 2, 5]).alias("masked"),
     )
 
 
@@ -292,9 +314,11 @@ def q_md5_mask_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_field_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
-    return df.select(
-        "l_orderkey", "l_linenumber", L.drop_fields("line", [2, 4]).alias("dropped")
+    staged = _stage_arr(_cdr_lines(spark, sf_dir))
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        L.drop_fields_arr(F.col("_arr"), [2, 4]).alias("dropped"),
     )
 
 
@@ -316,11 +340,13 @@ _PROJ_SQL = ", ".join(f"{_ARR}[{i + 1}]" for i in GPRS_PROJECTION)
     tags=("transform", "P8"),
 )
 def q_project_44to10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
-    return df.select(
+    staged = _stage_arr(_cdr_lines(spark, sf_dir))
+    return staged.select(
         "l_orderkey",
         "l_linenumber",
-        L.project_fields("line", GPRS_PROJECTION, n_fields=44).alias("projected"),
+        L.project_fields_arr(F.col("_arr"), GPRS_PROJECTION, n_fields=44).alias(
+            "projected"
+        ),
     )
 
 
@@ -336,8 +362,14 @@ def q_project_44to10(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_dirty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _cdr_lines(spark, sf_dir)
-    return df.filter(L.dirty_filter("line", 44)).select("line")
+    from sparkstreamingflume_spark.functions.barrier import anchor
+
+    # The anchored staged filter keeps the width predicate ABOVE the
+    # widen exchange; the bare filter was pushed below it onto the
+    # single narrow scan task, serializing synthesis+split (5.30 ->
+    # 0.82 s med at sf0.1, round 13).
+    staged = _stage_arr(_cdr_lines(spark, sf_dir))
+    return staged.filter(anchor(F.size("_arr") == 44)).select("line")
 
 
 @query(

@@ -888,20 +888,26 @@ def _emb_valid(df: DataFrame) -> DataFrame:
     )
 
 
-def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_norm(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
     """(vec_id, emb double[], norm) — the shared similarity input.
 
-    Hash-widened on vec_id (round 13): every consumer runs per-row dot
-    products (higher-order zip_with/aggregate — JVM but interpreted, the
-    CPU-heavy part) straight off the narrow single-row-group fixture
-    scan; the widen parallelizes that chain (q_embed_topk 0.85 -> 0.64 s
-    med at sf0.1, A/B) and — because it hash-partitions on vec_id — any
-    downstream join/agg keyed on vec_id reuses the exchange. No-op on
-    real row-group-per-128MB tables (see session.widen_if_narrow).
+    ``wide=True`` hash-widens the scan on vec_id (round 13) for
+    consumers that run the interpreted dot-product chain straight off
+    the narrow single-row-group fixture scan and reference this frame
+    only once or twice (q_embed_topk 0.85 -> 0.64 s med at sf0.1, A/B).
+    It must stay OPT-IN: a blanket widen regressed q_knn_graph 17.3 ->
+    29.6 s — that plan references the embedding frame many times
+    (cells / assignment / multiprobe / pair sides), and every reference
+    re-pays the widen exchange as its own AQE query stage, where the
+    narrow form pays only a cheap scan per reference. No-op on real
+    row-group-per-128MB tables (see session.widen_if_narrow).
     """
-    from sparkstreamingflume_spark.session import widen_if_narrow
+    e = _embs(spark, sf_dir)
+    if wide:
+        from sparkstreamingflume_spark.session import widen_if_narrow
 
-    e = _emb_valid(widen_if_narrow(_embs(spark, sf_dir), cols=["vec_id"])).select(
+        e = widen_if_narrow(e, cols=["vec_id"])
+    e = _emb_valid(e).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     dot_self = F.aggregate(
@@ -948,7 +954,7 @@ def _cos_ppm() -> F.Column:
     bench=True,
 )
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_norm(spark, sf_dir)
+    e = _emb_norm(spark, sf_dir, wide=True)
     probes = e.filter(F.col("vec_id") < N_QUERIES).alias("a")
     corpus = e.alias("b")
     scored = (

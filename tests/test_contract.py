@@ -192,6 +192,41 @@ def test_gprs_pipeline_plan_stays_staged(spark):
     assert plan.count("split(") == 1, plan.count("split(")
 
 
+def test_line_family_splits_once_and_filter_stays_staged(spark):
+    """Round-13 pin: the staged *_arr line ops evaluate the 44-way
+    split exactly once per row (the line-based forms re-split per
+    field reference — CSE skips subexpressions under CASE WHEN), and
+    q_dirty_filter's anchored width predicate stays ABOVE the widen
+    exchange (the bare filter was pushed below it onto the single
+    narrow scan task, serializing synthesis+split: 5.3 -> 0.8 s med
+    at sf0.1, functions/lines.py)."""
+    from sparkstreamingflume_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "q_project_44to10",
+        "q_dirty_filter",
+        "q_md5_mask",
+        "q_md5_mask_multi",
+        "q_field_drop",
+        "q_field_extract",
+    ):
+        plan = (
+            REGISTRY[name].build(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("split(") == 1, f"{name}: split re-expanded:\n{plan}"
+
+    plan = (
+        REGISTRY["q_dirty_filter"].build(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan and plan.index("Filter") < plan.index("Exchange"), (
+        "q_dirty_filter's width filter was pushed below the widen exchange:\n"
+        + plan
+    )
+
+
 def test_no_python_row_path_or_cartesian_anywhere(spark):
     """Global scale invariants over EVERY registered query (primaries and
     extras): no Python row path (EvalPython = row-at-a-time UDF) and no

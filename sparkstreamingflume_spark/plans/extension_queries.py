@@ -120,6 +120,21 @@ _TOK = "string_split(text, ' ')"
 # interleaved A/B at sf0.1: q_dedup_ngram_jaccard 3.18 -> 2.13 s med,
 # q_dedup_minhash 2.05 -> 1.65 (with the collect pair-gen below),
 # q_embed_topk 0.85 -> 0.64 via the same widen on embeddings.
+#
+# The whole _docs family was A/B'd both ways (5 interleaved samples
+# each, med). wide=True where it won: simhash 1.18->0.81, rep_filter
+# 2.60->1.40, contamination 1.94->1.06, keep_best 8.4->6.6,
+# doc_fingerprint 1.50->0.63, token_count 0.43->0.31, text_lang_id
+# 0.42->0.30, pii_scrub 0.47->0.31, corpus_overlap 1.87->1.32,
+# prefix_filter 6.9->6.1, tfidf 1.29->1.09, simhash_wide 3.78->3.55
+# (simhash_pairs inherits via q_dedup_simhash). Measured and left
+# NARROW (widen regressed or ~even — shuffle-first shapes):
+# text_topterms 0.40->0.75, heavy_hitters_cms 0.67->0.99, bm25_search
+# 0.79->1.05, lm_score 0.75->0.94, dsir_weight 0.76->0.96,
+# pmi_collocations, inverted_index, text_normalize, text_stats
+# 0.36->0.76, dedup_block 1.22->1.95, block_scrub, doc_chunk,
+# seq_pack, lm_bigram, text_quality (~even), and the cheap-agg block
+# (exact dedup / corpus funnel, round-8 numbers re-confirmed).
 
 
 def _docs(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
@@ -630,7 +645,7 @@ PF_JACCARD_MIN_PPM = 500_000  # prefix filter pays at HIGH thresholds
     extra=True,
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, wide=True).select("doc_id", "text")
     corpus = d.unionByName(
         d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
@@ -834,7 +849,7 @@ _BITS_SQL = " + ".join(
     extra=True,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
         "doc_id", h32(F.col("tok")).alias("h")
     )
@@ -1542,7 +1557,7 @@ def _sql_in(words: tuple[str, ...]) -> str:
     tags=("text",),
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     tok = tokens("text")
 
     def score(words: tuple[str, ...]) -> F.Column:
@@ -1626,7 +1641,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     extra=True,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     return d.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("ws_tokens"),
@@ -1739,7 +1754,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
 
     def gram_counts(k: int):
         g = d.select("doc_id", F.explode(shingles("text", k)).alias("g"))
@@ -1787,7 +1802,7 @@ def q_rep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
     )
@@ -2818,7 +2833,7 @@ def q_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -2971,7 +2986,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_dedup_clusters(spark, sf_dir)
-    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    d = _docs(spark, sf_dir, wide=True).select("doc_id", "n_chars")
     joined = clusters.join(d, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
@@ -3531,7 +3546,7 @@ _PII_PHONE_RE = "\\+?[0-9]{7,}"
     extra=True,
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -3597,7 +3612,7 @@ N_BENCH_DOCS = 25  # doc_id < 25 stands in for the eval/benchmark set
     extra=True,
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, wide=True)
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("s")
     ).select("doc_id", h32(F.col("s")).alias("shingle"))
@@ -4121,7 +4136,7 @@ _WIDE_BITS_SQL = " + ".join(
     extra=True,
 )
 def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, wide=True).select("doc_id", "text")
     corpus = d.unionByName(
         d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
@@ -4619,7 +4634,7 @@ _OVL_MATCH_SQL = (
     extra=True,
 )
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).filter(F.size(tokens("text")) >= 3)
+    d = _docs(spark, sf_dir, wide=True).filter(F.size(tokens("text")) >= 3)
     sh = d.select("source", F.explode(shingles("text")).alias("s"))
     hashed = sh.select("source", h32(F.col("s")).alias("h"))
     sigs = hashed.groupBy("source").agg(

@@ -942,6 +942,40 @@ def _cos_ppm() -> F.Column:
     return F.floor(dot * 1_000_000.0 / (F.col("a.norm") * F.col("b.norm")))
 
 
+# Common embedding width for the unrolled dot below. NOT a semantic
+# constraint — vectors of any other width take the exact fold branch.
+_UNROLL_DIM = 64
+
+
+def _cos_ppm_unrolled() -> F.Column:
+    """cos_ppm with the dot UNROLLED for the common width (round 13).
+
+    The higher-order ``zip_with``/``aggregate`` fold is interpreted
+    (no whole-stage codegen for lambda functions); a flat 64-term sum
+    compiles. Bit-identical to :func:`_cos_ppm`: IEEE addition is
+    left-to-right in both forms and ``0.0 + x0 == x0``, and any vector
+    not exactly ``_UNROLL_DIM`` wide takes the fold branch, so the
+    floored ppm can never differ (equality asserted on every consumer
+    before the swap). ONLY for hash-equi-join pair scoring — measured
+    q_knn_graph 26.4 -> 9.3 s med, q_dedup_embed_cosine 4.4 -> 3.4 at
+    sf0.1 — and NOT for the broadcast-nested-loop / probe shapes,
+    where the same expression regressed (q_embed_topk 1.00 -> 1.38,
+    q_embed_ivf_search 2.00 -> 2.57: the big expression falls out of
+    the fused join codegen there).
+    """
+    a, b = F.col("a.emb"), F.col("b.emb")
+    fold = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    terms = F.get(a, 0) * F.get(b, 0)
+    for i in range(1, _UNROLL_DIM):
+        terms = terms + F.get(a, i) * F.get(b, i)
+    dot = F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), terms
+    ).otherwise(fold)
+    return F.floor(dot * 1_000_000.0 / (F.col("a.norm") * F.col("b.norm")))
+
+
 @query(
     "q_embed_topk",
     f"""
@@ -1347,7 +1381,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cos_ppm().cast("long").alias("cos_ppm"),
+            _cos_ppm_unrolled().cast("long").alias("cos_ppm"),
         )
         .filter(F.col("cos_ppm") >= 350_000)
     )
@@ -5084,7 +5118,7 @@ def knn_graph(
                 reps.alias("a"), F.col("a.vec_id") == F.col("q_id")
             )
             .join(reps.alias("b"), F.col("b.vec_id") == F.col("nbr_id"))
-            .select("q_id", "nbr_id", _cos_ppm().cast("long").alias("cos_ppm"))
+            .select("q_id", "nbr_id", _cos_ppm_unrolled().cast("long").alias("cos_ppm"))
         )
         return scored.withColumn(
             "rn", F.row_number().over(w).cast("long")
@@ -5097,7 +5131,7 @@ def knn_graph(
     ).select(
         F.col("a.vec_id").alias("q_id"),
         F.col("b.vec_id").alias("nbr_id"),
-        _cos_ppm().cast("long").alias("cos_ppm"),
+        _cos_ppm_unrolled().cast("long").alias("cos_ppm"),
     )
     if index_nprobe > 1:
         scored = scored.groupBy("q_id", "nbr_id").agg(

@@ -5074,8 +5074,17 @@ def knn_graph(
     already reach ~1.0). ``lsh_bits`` = 0 (default) derives the band
     width in-plan from the rep count (see _srp_candidates); an
     explicit value pins it for frontier measurement.
+
+    ``assigned`` is persisted (round 13): the plan references it 2×
+    (default branch: probes/cells) to 5× (lsh branch: + reps on the
+    sig arm and both scoring sides), and each reference re-executed
+    the whole dedup-collapse + centroid-assignment subtree (~3 s of
+    the query at sf0.1). Cold fresh-process A/B: q_knn_graph 12-14 ->
+    8-11 s, q_knn_graph_lsh ~25 -> ~20 s. Same in-query
+    materialization pattern as label_propagation / diversity_select;
+    the frame is |reps| rows of (vec_id, emb, norm, centroid_id, rn).
     """
-    assigned = _adaptive_assign(spark, sf_dir)
+    assigned = _adaptive_assign(spark, sf_dir).persist()
     probes = assigned.filter(F.col("rn") <= nprobe).select(
         "vec_id", "emb", "norm", "centroid_id"
     )

@@ -1352,10 +1352,14 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
-    sk = ev.groupBy("event_type").agg(
+    # NULL-SAFE key, same reason as q_approx_aggs (a NULL event_type
+    # group must survive the join).
+    sk = ev.groupBy(F.col("event_type").alias("_et")).agg(
         F.approx_count_distinct("user_id", 0.01).alias("_est")
     )
-    return exact.join(sk, "event_type").select(
+    return exact.join(
+        sk, F.col("event_type").eqNullSafe(F.col("_et"))
+    ).select(
         "event_type",
         "n_users",
         "n_events",
@@ -1618,13 +1622,19 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated exact percentile (needs n >= ~100 per group; smallest
     # fixture group is 199 at sf0.001)
     bands = F.expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))")
-    sk = ev.groupBy("event_type").agg(
+    # NULL-SAFE join key: a NULL event_type is a legitimate GROUP (both
+    # engines emit it), but an equi-join on the column would drop it
+    # (NULL != NULL) — caught by the null-corpus pytest sweep when this
+    # split-frame form landed.
+    sk = ev.groupBy(F.col("event_type").alias("_et")).agg(
         F.count("*").alias("n_events"),
         F.approx_count_distinct("user_id", 0.01).alias("_est_users"),
         approx_p.alias("_ap"),
         bands.alias("_bands"),
     )
-    return exact.join(sk, "event_type").select(
+    return exact.join(
+        sk, F.col("event_type").eqNullSafe(F.col("_et"))
+    ).select(
         "event_type",
         "n_users",
         "n_events",

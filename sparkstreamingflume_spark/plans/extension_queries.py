@@ -1013,6 +1013,14 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("q_id"),
             F.col("b.vec_id").alias("vec_id"),
+            # An Arrow-batched dot (numpy add.accumulate — sequential,
+            # bit-identical; proven 0-diff on all 19,990 pairs) measured
+            # 0.69 vs 0.39 s med here (interleaved A/B, sf0.1): at 2000
+            # fixture vectors the pair-dot volume is too small to
+            # amortize the Python boundary, so the fold stays (round-14
+            # negative result; the SRP signature arm, at 192 plane-dots
+            # per row, is where the Arrow batch pays — see
+            # _srp_signatures).
             _cos_ppm().cast("long").alias("cos_ppm"),
         )
     )
@@ -4977,31 +4985,66 @@ def _srp_signatures(reps: DataFrame, bands: int, bits: int = 0) -> DataFrame:
             .cast("int")
             .alias("nbits_")
         )
-    dots = F.expr(
-        f"transform(slice({_srp_signs_sql(bands * KNN_LSH_BITS_MAX)},"
-        f" 1, {bands} * nbits_), srow -> "
-        f"aggregate(zip_with(slice(emb, 1, {_SRP_MAXDIM}),"
-        f" slice(srow, 1, least(size(emb), {_SRP_MAXDIM})),"
-        " (x, s) -> x * s), 0.0D, (acc, x) -> acc + x))"
-    )
+    # The bands × nbits plane-dots per rep were a
+    # transform(aggregate(zip_with(...))) chain — higher-order lambdas
+    # are INTERPRETED (no whole-stage codegen), and at nbits=8 that is
+    # 192 interpreted 64-term folds per row (~5 s of q_knn_graph_lsh at
+    # sf0.1; round-13 "Not yet optimized" #2). Round 14 moves the
+    # sign-dot batch to Arrow + numpy (guide §4.2: hand whole batches
+    # to vectorized native code): products are exact per IEEE element,
+    # and the per-plane sum uses np.add.accumulate — STRICTLY
+    # left-to-right, the same addition order as the SQL fold — seeded
+    # with an explicit 0.0 column to mirror the fold's `0.0D + x0`, so
+    # every partial sum is bit-identical to the lambda form and the
+    # sign decision (d >= 0.0, NaN false in both) cannot diverge from
+    # the DuckDB oracle's rendering of the same fold. numpy pairwise
+    # summation (np.dot / .sum()) is deliberately NOT used — it
+    # reorders additions. Non-64-wide embeddings take the same slicing
+    # rules as the SQL form (emb and plane both cut to
+    # min(size(emb), _SRP_MAXDIM)).
+    signs = _srp_signs(bands * KNN_LSH_BITS_MAX)
+
+    def srp_sig_batch(emb, nbits):
+        import numpy as np
+        import pandas as pd
+
+        smat = np.asarray(signs, dtype=np.float64)
+        out: list[list[int] | None] = []
+        for e, nb in zip(emb, nbits):
+            if e is None or nb is None:
+                out.append(None)
+                continue
+            nb = int(nb)
+            a = np.asarray(e, dtype=np.float64)[:_SRP_MAXDIM]
+            p = smat[: bands * nb, : a.shape[0]] * a
+            # seed column = the fold's 0.0D accumulator start
+            seeded = np.concatenate(
+                [np.zeros((p.shape[0], 1)), p], axis=1
+            )
+            d = np.add.accumulate(seeded, axis=1)[:, -1]
+            # NOT (d < 0.0), not (d >= 0.0): Spark and DuckDB order NaN
+            # above every number, so a NaN dot takes the >= branch
+            # there; numpy's NaN >= 0 is False. ~(d < 0.0) matches.
+            bits = (~(d < 0.0)).reshape(bands, nb)
+            weights = np.int64(1) << np.arange(nb, dtype=np.int64)
+            out.append((bits * weights).sum(axis=1).tolist())
+        return pd.Series(out)
+
+    srp_sigs = F.pandas_udf(srp_sig_batch, "array<long>")
     # LSB-first within the band — plane p contributes bit (p % nbits),
     # the SAME encoding as the oracle's `1 << (p % nbits)` and as
     # q_media_neardup's sig stage (ADVICE r11 #1: the previous
     # MSB-first fold was a bijection of this one, so bucketing — the
     # only consumer — was unaffected, but signatures persisted or
     # compared cross-engine would have silently diverged).
-    sigs = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        "aggregate(zip_with(slice(_dots, b * nbits_ + 1, nbits_),"
-        " sequence(0, nbits_ - 1),"
-        " (d, i) -> CASE WHEN d >= 0.0D"
-        " THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),"
-        " 0L, (acc, x) -> acc + x))"
-    )
     sig = (
         reps.crossJoin(F.broadcast(bf))
-        .withColumn("_dots", dots)
-        .select("vec_id", F.posexplode(sigs).alias("band", "band_sig"))
+        .select(
+            "vec_id",
+            F.posexplode(srp_sigs(F.col("emb"), F.col("nbits_"))).alias(
+                "band", "band_sig"
+            ),
+        )
     )
     sw = Window.partitionBy("band", "band_sig")
     return (
@@ -5021,26 +5064,33 @@ def _srp_candidates(reps: DataFrame, bands: int, bits: int = 0) -> DataFrame:
     default, pinnable for frontier measurement).
 
     100 TB shape: one linear pass builds the per-vector signature
-    (bands × nbits sign-dots, whole-stage-codegen lambdas over the
-    broadcast literal matrix, sliced to the live plane count),
-    candidates come from (band, band_sig) equi-self-joins — never an
-    all-pairs scan — and buckets above BUCKET_CEIL are dropped before
-    the join. The adaptive bit count is one broadcast one-row count
+    (bands × nbits Arrow-batched sign-dots over the broadcast literal
+    matrix, sliced to the live plane count), candidates are enumerated
+    IN-PARTITION per (band, band_sig) bucket — never an all-pairs
+    scan — and buckets above BUCKET_CEIL are dropped before
+    enumeration. The adaptive bit count is one broadcast one-row count
     (the EMB_TARGET_CELL pattern), not a driver-side collect.
+
+    Round 14: pairs come from ``collect_list(vec_id)`` per bucket on
+    the ceiling-window's OWN exchange + a double explode with
+    ``vec_a < vec_b`` — the q_dedup_minhash round-13 rewrite. The
+    previous (band, band_sig) self-join referenced the signature frame
+    twice, and the whole scan→Arrow-sig→posexplode→window pipeline
+    re-executed per join side (two ArrowEvalPython nodes in the
+    before-plan); the groupBy keys equal the window keys, so the
+    collect adds ZERO new shuffles, and the arrays are bounded by the
+    SAME BUCKET_CEIL prune that bounds pair output — not the
+    unbounded-collect anti-pattern (an over-ceiling bucket never
+    reaches the collect). Same pair set by construction.
     """
     sig = _srp_signatures(reps, bands, bits)
-    x, y = sig.alias("x"), sig.alias("y")
+    buckets = sig.groupBy("band", "band_sig").agg(
+        F.collect_list("vec_id").alias("ids_")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_sig") == F.col("y.band_sig"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-        )
+        buckets.select(F.explode("ids_").alias("vec_a"), "ids_")
+        .select("vec_a", F.explode("ids_").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .distinct()
     )
 
@@ -5053,6 +5103,7 @@ def knn_graph(
     k: int = KNN_K,
     lsh_bands: int = 0,
     lsh_bits: int = 0,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """The parametrized kNN-graph plan behind ``q_knn_graph`` — the
     recall/cost dial (tools/knn_frontier.py measures the frontier;
@@ -5083,8 +5134,15 @@ def knn_graph(
     8-11 s, q_knn_graph_lsh ~25 -> ~20 s. Same in-query
     materialization pattern as label_propagation / diversity_select;
     the frame is |reps| rows of (vec_id, emb, norm, centroid_id, rn).
+    Lifecycle (round 14): build() cannot know when its caller's action
+    finishes, so it does not unpersist — loop-style callers
+    (tools/validate.py, bench.py) clearCache() between queries, and a
+    pipeline run holds exactly one |reps|-row frame for its duration.
+    A caller that already holds the assignment frame (diversity_select)
+    passes it via ``assigned=`` so the two share one cache entry.
     """
-    assigned = _adaptive_assign(spark, sf_dir).persist()
+    if assigned is None:
+        assigned = _adaptive_assign(spark, sf_dir).persist()
     probes = assigned.filter(F.col("rn") <= nprobe).select(
         "vec_id", "emb", "norm", "centroid_id"
     )
@@ -5784,38 +5842,68 @@ def _div_oracle() -> str:
     )
 
 
-def _div_round(
-    mem: DataFrame, und: DataFrame, sel: DataFrame, rank_no: int
-) -> DataFrame:
-    """One unrolled farthest-point round: among each cell's unselected
-    members, pick the one whose max cosine into the already-selected
-    set is SMALLEST (members with no edge rank via the beyond-horizon
-    sentinel), ties on the smallest vec_id. Join order is
-    edges-into-selected FIRST (|selected| rows per cell per round), so
-    the per-round work is one semi-filtered edge scan + one hash-agg +
-    one bounded window — never member x member."""
-    esel = und.join(
-        sel.select(F.col("vec_id").alias("u"), "cell_id"), "u"
-    ).select(F.col("v").alias("vec_id"), "cell_id", "cos_ppm")
-    unsel = mem.join(sel.select("vec_id"), "vec_id", "left_anti")
-    scored = (
-        unsel.join(esel, ["vec_id", "cell_id"], "left")
-        .groupBy("vec_id", "cell_id")
-        .agg(F.max("cos_ppm").alias("sim_ppm"))
-    )
-    w = Window.partitionBy("cell_id").orderBy(
-        F.coalesce(F.col("sim_ppm"), F.lit(_DIV_FAR)).asc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rn_", F.row_number().over(w))
-        .filter(F.col("rn_") == 1)
-        .select(
-            "vec_id",
-            "cell_id",
-            F.col("sim_ppm").cast("long").alias("sim_ppm"),
-            F.lit(rank_no).cast("long").alias("pick_rank"),
+def _div_cell_pass(budget: int):
+    """The per-cell farthest-point selection as ONE cogrouped Arrow
+    pass (round 14, guide §2 fewer sequential stages + §4.2 batch the
+    custom logic): the previous form unrolled ``budget - 1`` serialized
+    (semi-join + hash-agg + window) rounds over the persisted edges —
+    ~9 stages and a multi-MB union lineage, ~3 s per round at sf0.1
+    that was pure per-stage overhead (the edge list is bounded n*K
+    rows). A cell is the natural selection unit: every round's scoring
+    join keys on (vec_id, cell_id), so only INTRA-cell edges can ever
+    contribute, and cells are bounded (~EMB_TARGET_CELL members, ≤2K
+    edges per member) — the whole greedy selection for one cell fits
+    one Arrow batch. Semantics are the round form's, verbatim: pick 1
+    = max den (tie min vec_id); pick i = the unselected member whose
+    MAX cos_ppm into the selected set is smallest (missing edge ranks
+    via the beyond-horizon sentinel, emitted as NULL), tie min vec_id.
+    All comparisons are int64 — bit-parity with the unrolled DuckDB
+    oracle is arithmetic-free."""
+
+    def pick(mdf, edf):
+        import pandas as pd
+
+        out = {"vec_id": [], "cell_id": [], "sim_ppm": [], "pick_rank": []}
+
+        def frame() -> pd.DataFrame:
+            return pd.DataFrame(
+                {k: pd.array(vs, dtype="Int64") for k, vs in out.items()}
+            )
+
+        if len(mdf) == 0:
+            return frame()
+        cell = int(mdf["cell_id"].iloc[0])
+        members = sorted(
+            zip(mdf["den"].tolist(), mdf["vec_id"].tolist()),
+            key=lambda t: (-t[0], t[1]),
         )
-    )
+        by_u: dict[int, list[tuple[int, int]]] = {}
+        for v, u, c in zip(edf["v"], edf["u"], edf["cos_ppm"]):
+            if pd.isna(c):  # SQL max() skips NULL scores
+                continue
+            by_u.setdefault(int(u), []).append((int(v), int(c)))
+        unsel = set(mdf["vec_id"].tolist())
+        best: dict[int, int] = {}  # max cos into the selected set
+
+        def emit(v: int, sim, rank: int) -> None:
+            out["vec_id"].append(v)
+            out["cell_id"].append(cell)
+            out["sim_ppm"].append(sim)
+            out["pick_rank"].append(rank)
+            unsel.discard(v)
+            for w, c in by_u.get(v, ()):
+                if best.get(w, _DIV_FAR - 1) < c:
+                    best[w] = c
+
+        emit(int(members[0][1]), None, 1)
+        for rank in range(2, budget + 1):
+            if not unsel:
+                break
+            v = min(unsel, key=lambda x: (best.get(x, _DIV_FAR), x))
+            emit(v, best.get(v), rank)
+        return frame()
+
+    return pick
 
 
 def diversity_select(
@@ -5829,24 +5917,34 @@ def diversity_select(
     curation run feed :func:`materialize_knn_graph`'s cached parquet
     (the q_dedup_semantic_from_graph pattern) instead of rebuilding the
     graph inline; ``budget`` extends the picks past the certified
-    unroll depth — each extra pick is one more (semi-join + hash-agg +
-    bounded window) round over the same bounded n*K edges."""
-    assigned = _adaptive_assign(spark, sf_dir)
-    mem = (
-        assigned.filter(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cell_id"))
-        .persist()
+    unroll depth at zero extra stages (the greedy loop runs inside the
+    one per-cell Arrow pass — the previous form paid one full
+    (semi-join + hash-agg + window) round per extra pick).
+
+    Round-14 shape: den (one join + hash-agg) and the intra-cell edge
+    annotation (two broadcast joins against the |reps|-row membership)
+    stay relational; the selection itself — inherently sequential in
+    pick_rank — runs ONCE per cell via cogrouped applyInPandas instead
+    of ``budget - 1`` serialized Spark rounds. At sf0.1 the round form
+    cost ~3 s/round of pure stage overhead on a bounded edge list and
+    produced an 8584-line plan (plans/r14/q_diversity_select_before
+    .txt); the single-pass plan is ~40 lines. 100 TB: cells are the
+    hash-partition unit (bounded ~EMB_TARGET_CELL members, K out-edges
+    each), so one Arrow group is a few thousand integers — no
+    collect, no cartesian, skew bounded by the same cell-size bound
+    that keeps the graph build linear. The assignment frame is shared
+    with the inline graph build (knn_graph(assigned=...)), so the
+    dedup-collapse + centroid scoring runs once per build, not twice.
+    """
+    assigned = _adaptive_assign(spark, sf_dir).persist()
+    mem = assigned.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("centroid_id").alias("cell_id")
     )
     g = (
-        edges if edges is not None else knn_graph(spark, sf_dir)
-    ).select("q_id", "nbr_id", "cos_ppm").persist()
-    und = g.select(
-        F.col("q_id").alias("v"), F.col("nbr_id").alias("u"), "cos_ppm"
-    ).unionByName(
-        g.select(
-            F.col("nbr_id").alias("v"), F.col("q_id").alias("u"), "cos_ppm"
-        )
-    )
+        edges
+        if edges is not None
+        else knn_graph(spark, sf_dir, assigned=assigned)
+    ).select("q_id", "nbr_id", "cos_ppm")
     den = (
         mem.join(
             g.select(F.col("q_id").alias("vec_id"), "cos_ppm"),
@@ -5856,26 +5954,46 @@ def diversity_select(
         .groupBy("vec_id", "cell_id")
         .agg(F.coalesce(F.sum("cos_ppm"), F.lit(0)).alias("den"))
     )
-    w = Window.partitionBy("cell_id").orderBy(
-        F.col("den").desc(), F.col("vec_id")
-    )
-    out = (
-        den.withColumn("rn_", F.row_number().over(w))
-        .filter(F.col("rn_") == 1)
-        .select(
-            "vec_id",
-            "cell_id",
-            F.lit(None).cast("long").alias("sim_ppm"),
-            F.lit(1).cast("long").alias("pick_rank"),
+    und = g.select(
+        F.col("q_id").alias("v"), F.col("nbr_id").alias("u"), "cos_ppm"
+    ).unionByName(
+        g.select(
+            F.col("nbr_id").alias("v"), F.col("q_id").alias("u"), "cos_ppm"
         )
-        .persist()
     )
-    sel = out.select("vec_id", "cell_id").persist()
-    for i in range(2, budget + 1):
-        pick = _div_round(mem, und, sel, i).persist()
-        out = out.unionByName(pick)
-        sel = sel.unionByName(pick.select("vec_id", "cell_id")).persist()
-    return out
+    # Only intra-cell edges can score (the round form's join keyed on
+    # (vec_id, cell_id)); annotate each endpoint from the membership
+    # and keep same-cell rows. mem is |reps| rows — broadcast-sized.
+    intra = (
+        und.join(
+            F.broadcast(
+                mem.select(
+                    F.col("vec_id").alias("u"),
+                    F.col("cell_id").alias("ucell_"),
+                )
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                mem.select(
+                    F.col("vec_id").alias("v"),
+                    F.col("cell_id").alias("vcell_"),
+                )
+            ),
+            "v",
+        )
+        .filter(F.col("ucell_") == F.col("vcell_"))
+        .select(F.col("ucell_").alias("cell_id"), "v", "u", "cos_ppm")
+    )
+    return (
+        den.groupBy("cell_id")
+        .cogroup(intra.groupBy("cell_id"))
+        .applyInPandas(
+            _div_cell_pass(budget),
+            "vec_id long, cell_id long, sim_ppm long, pick_rank long",
+        )
+    )
 
 
 @query(

@@ -100,72 +100,79 @@ def primary_queries() -> dict[str, Query]:
 # the 50 round-6-green queries rest one round on those same gates.
 # ---------------------------------------------------------------------------
 
-# ROUND-13 ROTATION (the round-12 verdict's prescribed set, task 1):
-# (1) ALL 49 queries whose newest driver row is round 10 — the staleness
-# frontier ("no registry row older than two rounds" breaks for them at
-# r13); the exact list was recomputed from the CORRECTNESS_r01..r12
-# union before rotating (histogram r12: 50, r11: 36, r10: 49).
-# (2) The one spare slot carries q_diversity_select (NEW this round:
-# diversity-aware subset selection over the certified kNN graph — the
-# last promised consumer in q_knn_graph's doc; a newly registered query
-# certifies in its landing round). The 12 bench headliners and the
-# r11/r12-green rows rest this round on tools/validate.py + the
-# oracle-extras pytest gate (same compare, run every session); the 36
-# r11-green rows are the r14 frontier.
+# ROUND-14 ROTATION (the round-13 verdict's prescribed set, task 1):
+# (1) ALL 36 queries whose newest driver row is round 11 — the staleness
+# frontier; recomputed from the CORRECTNESS_r01..r13 union before
+# rotating (histogram r13: 50, r12: 50, r11: 36).
+# (2) The round-13-REWRITTEN queries whose driver row predates their
+# rewrite (verdict "What's wrong #2"): the minhash one-pipeline rewrite
+# and its direct consumer (candidates_verified), the widened chains
+# (ngram/containment share a helper, group_concat, broadcast/left_join,
+# embed_topk, cluster_sort, gprs hash-widen), the unrolled-dot scoring
+# sites (dedup_embed_cosine), and the knn consumers that inherit the
+# unroll through knn_graph (label_propagation).
+# (3) The round-14 rewrites: q_diversity_select (single-pass per-cell
+# selection) and q_knn_graph_lsh (Arrow SRP signatures + in-bucket pair
+# enumeration) re-certify in their rewrite round even though both have
+# r13 rows. q_knn_graph itself is plan-identical after round 14
+# (plans/r14/q_knn_graph_{before,after}.txt) and keeps its r13 row.
+# The r12/r13-green remainder rests this round on tools/validate.py +
+# the oracle-extras pytest gate (same compare, run every session).
 
 CERT_WINDOW: tuple[str, ...] = (
-    # -- the 49 round-10-stale rows (the staleness frontier) -----------------
-    "q_approx_aggs",
-    "q_approx_count_distinct",
+    # -- the 36 round-11-stale rows (the staleness frontier) -----------------
+    "q_anomaly_zscore",
+    "q_assoc_rules",
+    "q_bloom_filter_join",
+    "q_bm25_search",
+    "q_cluster_sort_bucketed",
+    "q_corpus_overlap",
+    "q_count_by_type_salted",
+    "q_dedup_block_scrub",
+    "q_dedup_embed_exact",
+    "q_dedup_prefix_filter",
+    "q_dedup_semantic",
+    "q_dedup_simhash",
+    "q_dist_drift",
+    "q_distinct_hll",
+    "q_dsir_weight",
+    "q_embed_ivf_multiprobe",
+    "q_embed_ivf_refined",
+    "q_enrich_join_salted",
+    "q_event_transitions",
+    "q_funnel",
+    "q_heavy_hitters_cms",
+    "q_inverted_index",
+    "q_kmeans_assign",
+    "q_lm_bigram",
+    "q_merge_upsert",
+    "q_multimodal_meta",
+    "q_pagerank",
+    "q_pmi_collocations",
+    "q_quantile_hdr",
+    "q_resample_interp",
+    "q_resample_locf",
+    "q_retention",
+    "q_sample_weighted",
+    "q_scd2_history",
+    "q_session_window",
+    "q_shuffle_shards",
+    # -- round-13 rewrites not yet driver-certified in rewritten form --------
+    "q_broadcast_join",
     "q_cluster_sort",
-    "q_contamination",
-    "q_count_by_type",
-    "q_count_distinct",
-    "q_cube",
-    "q_data_mix",
-    "q_date_bucket",
-    "q_dedup_keep_best",
-    "q_dedup_semantic_from_graph",
-    "q_dedup_simhash_pairs",
-    "q_dedup_simhash_wide",
-    "q_dirty_filter",
-    "q_distinct",
-    "q_embed_quantize_topk",
-    "q_except",
-    "q_fanout_dup",
-    "q_field_drop",
-    "q_field_extract",
-    "q_filter_prefix",
-    "q_histogram",
-    "q_intersect",
-    "q_json_extract",
-    "q_json_typed",
-    "q_knn_graph",
-    "q_lag_delta",
+    "q_dedup_candidates_verified",
+    "q_dedup_containment",
+    "q_dedup_embed_cosine",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_embed_topk",
+    "q_gprs_pipeline",
+    "q_group_concat",
+    "q_label_propagation",
     "q_left_join_default",
-    "q_lookup_build",
-    "q_md5_mask",
-    "q_md5_mask_multi",
-    "q_moving_window",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_profile",
-    "q_project_44to10",
-    "q_project_kv",
-    "q_rep_filter",
-    "q_sample_stratified",
-    "q_seq_pack",
-    "q_sketch_rollup",
-    "q_subqueries",
-    "q_text_normalize",
-    "q_time_rollup",
-    "q_topk",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_union",
-    "q_window_tumbling",
-    # -- round-13 newly registered (landing-round certification) -------------
+    # -- round-14 rewrites (re-certify in the rewrite round) -----------------
     "q_diversity_select",
+    "q_knn_graph_lsh",
 )
 
 

@@ -150,3 +150,34 @@ def test_events_legacy_nanos_encoding_still_loads(spark, tmp_path):
     [row] = df.select(F.unix_micros("ts").alias("us")).collect()
     # integer truncation to micros, not rounding
     assert row.us == nanos // 1000
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fixture_embeddings_are_unroll_dim_wide(spark, sf_dir):
+    """ADVICE r13 #3: the codegen-unrolled dot (_cos_ppm_unrolled) only
+    fires for vectors exactly _UNROLL_DIM wide — any other width takes
+    the exact-but-interpreted fold branch SILENTLY. If the driver ever
+    regenerates fixtures with a different embedding width, the measured
+    ~3x knn win would evaporate with no failure anywhere; this tripwire
+    turns that into one readable assert (the unroll is still CORRECT at
+    any width — this is a performance pin, not a semantics pin)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingflume_spark.plans.extension_queries import (
+        _UNROLL_DIM,
+        _emb_valid,
+    )
+    from sparkstreamingflume_spark.session import load_table
+
+    widths = (
+        _emb_valid(load_table(spark, sf_dir, "embeddings"))
+        .select(F.size("embedding").alias("w"))
+        .distinct()
+        .collect()
+    )
+    assert [r.w for r in widths] == [_UNROLL_DIM], (
+        f"{sf_dir}: embedding widths {sorted(r.w for r in widths)} != "
+        f"[{_UNROLL_DIM}] — every vector now takes _cos_ppm_unrolled's "
+        "interpreted fold branch; re-measure the knn family and adjust "
+        "_UNROLL_DIM (extension_queries.py) if the fixture width moved"
+    )

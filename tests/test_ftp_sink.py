@@ -8,6 +8,10 @@ import pytest
 
 from sparkstreamingflume_spark.extensions import ftp_sink as FS
 
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 
 class FakeFTP:
     """Records the protocol calls; optionally fails the first N uploads."""

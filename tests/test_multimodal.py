@@ -8,6 +8,10 @@ import pytest
 
 from sparkstreamingflume_spark.extensions import multimodal as MM
 
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def media_df(spark):

@@ -16,6 +16,10 @@ import pytest
 from sparkstreamingflume_spark.oracle import compare, duck_fetch, register_views
 from sparkstreamingflume_spark.plans import CERT_WINDOW, REGISTRY
 
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 OUTSIDE_WINDOW = sorted(set(REGISTRY) - set(CERT_WINDOW))

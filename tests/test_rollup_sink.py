@@ -11,6 +11,11 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.streaming import sinks
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SCHEMA = "user_id long, ts timestamp, value double"
 

@@ -31,6 +31,11 @@ import pyarrow.parquet as pq
 
 from sparkstreamingflume_spark.oracle import compare, duck_fetch, register_views
 from sparkstreamingflume_spark.plans import REGISTRY
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SRC = "/root/testdata/sf0.001"
 DIM = 64

@@ -8,6 +8,11 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.streaming import pipeline, sinks, sources
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 
 def _lines_df(spark, n=50):

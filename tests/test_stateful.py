@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.streaming import sources
 from sparkstreamingflume_spark.streaming.stateful import sessionize
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 
 def _write_events(path: Path, rows: list[tuple[int, str]]) -> None:

@@ -6,6 +6,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SCHEMA = T.StructType(
     [

@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import pytest
 
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -10,6 +10,11 @@ from datetime import datetime
 
 from sparkstreamingflume_spark.streaming import sinks
 from sparkstreamingflume_spark.streaming.joins import interval_join
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SCHEMA = "user_id long, ts timestamp, event_id long"
 

@@ -25,6 +25,11 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 

@@ -10,6 +10,11 @@ band collisions are DETERMINISTIC (fixed md5-derived constants): the
 """
 
 from __future__ import annotations
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 FOX = (
     "the quick brown fox jumps over the lazy dog while the sun sets "

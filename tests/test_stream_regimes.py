@@ -15,6 +15,12 @@ from sparkstreamingflume_spark.streaming.regimes import (
     regime_update_batch,
 )
 
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 STR_SCHEMA = "user_id long, ts string, event_id long, event_type string"
 SCHEMA = "user_id long, ts timestamp, event_id long, event_type string"
 SF = "/root/testdata/sf0.001"

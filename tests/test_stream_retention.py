@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.plans import REGISTRY
 from sparkstreamingflume_spark.streaming.stateful import retention_progress
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SCHEMA = "user_id LONG, ts STRING, event_id LONG, event_type STRING"
 

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from sparkstreamingflume_spark.plans import REGISTRY
 from sparkstreamingflume_spark.streaming.sessions import session_windows
+import pytest
+
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 SENTINEL_USER = 999_999_999

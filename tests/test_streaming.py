@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from sparkstreamingflume_spark.schemas import RECORD_TYPES
 from sparkstreamingflume_spark.streaming import pipeline, sinks, sources
 
+# Driver-budget profile (pytest.ini): stream-twin/soak/sweep file —
+# excluded from the default selection, always run by tools/run_shards.sh.
+pytestmark = pytest.mark.slow
+
 
 def make_line(prefix: str, i: int) -> str:
     rt = RECORD_TYPES[prefix]

@@ -5527,6 +5527,27 @@ def q_dedup_semantic_from_graph(
     return _semantic_clusters(knn)
 
 
+# DuckDB inlines a CTE into every reference site unless hinted, so the
+# iterative-consumer oracles re-ran the ENTIRE probes×cells graph build
+# once per round reference — measured at sf0.01: q_label_propagation_deep
+# 517.7 -> 2.6 s, q_label_propagation 18.6 -> 0.5 s, q_diversity_select
+# 24.1 -> 0.6 s with `AS MATERIALIZED` on the shared chain, rows proven
+# identical (round 14, verdict task 9 — validation-gate latency: these
+# oracles run inside tools/validate.py AND the driver's own t2 gate).
+# Only the consumers measured to win are hinted; q_knn_graph_lsh
+# measured neutral (3.2 vs 3.4 s) and keeps plain CTEs.
+_ORACLE_MAT_CTES = (
+    "e", "reps", "assign", "cells", "graph", "und", "mem", "den", "probes"
+)
+
+
+def _materialize_ctes(sql: str, names: tuple[str, ...] = _ORACLE_MAT_CTES) -> str:
+    """Add DuckDB ``AS MATERIALIZED`` to the named CTE definitions."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (")
+    return sql
+
+
 # Label propagation over the kNN graph — the third promised graph
 # consumer (q_knn_graph's doc names "semantic dedup, diversity
 # selection, and label propagation"; until round 12 only the first
@@ -5613,7 +5634,7 @@ def _label_prop_round(
 
 @query(
     "q_label_propagation",
-    LABEL_PROP_ORACLE,
+    _materialize_ctes(LABEL_PROP_ORACLE),
     doc="Label propagation over the kNN graph — the third graph "
     "consumer q_knn_graph's doc promises (after SemDeDup and ahead of "
     "diversity selection): seed labels (every 5th vector keeps its "
@@ -5733,7 +5754,7 @@ def _label_prop_oracle(rounds: int) -> str:
             f" FROM l{i - 1} LEFT JOIN p{i} ON p{i}.v = l{i - 1}.v),"
         )
     body = "\n    ".join(parts).rstrip(",")
-    return (
+    return _materialize_ctes(
         f"{body}\n    "
         f"SELECT v AS vec_id, label AS label_out,"
         f" CAST(hops AS BIGINT) AS hops FROM l{rounds}"
@@ -5835,7 +5856,7 @@ def _div_oracle() -> str:
     )
     # strip the trailing comma off the last CTE before the final SELECT
     body = "\n    ".join(parts).rstrip(",")
-    return (
+    return _materialize_ctes(
         f"{body}\n    "
         f"SELECT vec_id, cell_id, CAST(pick_rank AS BIGINT) AS pick_rank,"
         f" CAST(sim_ppm AS BIGINT) AS sim_ppm FROM ({picks})"

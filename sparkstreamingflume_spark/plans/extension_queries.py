@@ -5961,11 +5961,20 @@ def diversity_select(
     mem = assigned.filter(F.col("rn") == 1).select(
         "vec_id", F.col("centroid_id").alias("cell_id")
     )
+    # g is referenced three times (den + both und directions); without
+    # the persist the whole graph build re-executes per reference —
+    # measured at sf1: 39.7 s -> 23.4 s med with it (at sf0.1 the
+    # re-execution was ~1 s/reference and hid inside the win). Same
+    # build()-cannot-unpersist lifecycle as knn_graph's assigned.
     g = (
-        edges
-        if edges is not None
-        else knn_graph(spark, sf_dir, assigned=assigned)
-    ).select("q_id", "nbr_id", "cos_ppm")
+        (
+            edges
+            if edges is not None
+            else knn_graph(spark, sf_dir, assigned=assigned)
+        )
+        .select("q_id", "nbr_id", "cos_ppm")
+        .persist()
+    )
     den = (
         mem.join(
             g.select(F.col("q_id").alias("vec_id"), "cos_ppm"),
